@@ -1,0 +1,111 @@
+"""CRC-32 (gzip polynomial) GF(2) math: tables, advance matrices, combine.
+
+Role parity with the reference's generated constants
+(``scripts/gen-crc32-consts.py``, ``lib/crc32_tables.h``,
+``lib/crc32_multipliers.h``).  Instead of carryless-multiply folding constants
+(which target PCLMUL/PMULL instructions), the TPU design uses the *linear-map*
+formulation: the CRC register update is linear over GF(2), so "advance the
+register by k zero bytes" is a 32x32 bit-matrix ``A^k``.  We precompute
+``A^(2^j)`` by squaring, which gives:
+
+- O(log n) ``crc32_combine`` (drives multi-chunk / multi-host CRC assembly,
+  SURVEY.md §5.8), and
+- the per-level constant matrices used by the log-depth tree reduction in the
+  JAX kernel (ops/checksums_jax.py), the TPU analogue of PCLMUL folding.
+
+All matrices are stored column-major as uint32 vectors: ``M @ v`` =
+XOR of ``cols[j]`` over set bits ``j`` of ``v``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Reflected gzip CRC-32 polynomial (reference: lib/crc32.c, poly 0xEDB88320).
+POLY_REFLECTED = 0xEDB88320
+
+
+def _make_byte_table() -> np.ndarray:
+    """The classic 256-entry table: T[b] = register after byte b from state 0."""
+    t = np.zeros(256, dtype=np.uint64)
+    for b in range(256):
+        c = b
+        for _ in range(8):
+            c = (c >> 1) ^ (POLY_REFLECTED if (c & 1) else 0)
+        t[b] = c
+    return t.astype(np.uint32)
+
+
+CRC_BYTE_TABLE = _make_byte_table()
+
+# Per-bit decomposition of the byte table: T[b] = XOR of BIT_TABLE[j] for each
+# set bit j of b (linearity).  Lets device kernels avoid 256-entry gathers.
+CRC_BIT_TABLE = CRC_BYTE_TABLE[np.left_shift(1, np.arange(8))]
+
+
+def _make_slice_tables(n: int = 8) -> np.ndarray:
+    """Slice-by-N tables: S[k][b] = contribution of byte b seen k bytes before
+    the current register position (reference analogue: lib/crc32_tables.h)."""
+    tabs = np.zeros((n, 256), dtype=np.uint32)
+    tabs[0] = CRC_BYTE_TABLE
+    for k in range(1, n):
+        prev = tabs[k - 1]
+        tabs[k] = (prev >> np.uint32(8)) ^ CRC_BYTE_TABLE[prev & np.uint32(0xFF)]
+    return tabs
+
+
+CRC_SLICE_TABLES = _make_slice_tables(8)
+
+
+def mat_vec(cols: np.ndarray, v):
+    """Apply a GF(2) 32x32 matrix (32 uint32 columns) to vector(s) v."""
+    v = np.asarray(v, dtype=np.uint32)
+    out = np.zeros_like(v)
+    for j in range(32):
+        bit = (v >> np.uint32(j)) & np.uint32(1)
+        out ^= cols[j] * bit
+    return out
+
+
+def mat_mat(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Compose: (a @ b) as column arrays — apply a to each column of b."""
+    return mat_vec(a, b)
+
+
+def _advance_one_byte_matrix() -> np.ndarray:
+    """Matrix of the one-zero-byte register update c -> (c>>8) ^ T[c & 0xff]."""
+    basis = np.left_shift(np.uint32(1), np.arange(32, dtype=np.uint32))
+    return (basis >> np.uint32(8)) ^ CRC_BYTE_TABLE[basis & np.uint32(0xFF)]
+
+
+# ADVANCE_POW2[j] advances the register past 2^j zero bytes.
+def _make_advance_pow2(max_log: int = 40) -> np.ndarray:
+    mats = np.zeros((max_log, 32), dtype=np.uint32)
+    mats[0] = _advance_one_byte_matrix()
+    for j in range(1, max_log):
+        mats[j] = mat_mat(mats[j - 1], mats[j - 1])
+    return mats
+
+
+ADVANCE_POW2 = _make_advance_pow2()
+
+
+def advance(crc_reg, nbytes: int):
+    """Advance raw CRC register(s) past ``nbytes`` zero bytes."""
+    v = np.asarray(crc_reg, dtype=np.uint32)
+    j = 0
+    while nbytes:
+        if nbytes & 1:
+            v = mat_vec(ADVANCE_POW2[j], v)
+        nbytes >>= 1
+        j += 1
+    return v
+
+
+def crc32_combine(crc1: int, crc2: int, len2: int) -> int:
+    """CRC of A||B from crc32(A), crc32(B), |B| — zlib-compatible.
+
+    Used to stitch per-chunk CRCs into whole-file trailers in the chunk-DP
+    path (SURVEY.md §5.8).
+    """
+    return int(advance(np.uint32(crc1), len2)) ^ crc2
