@@ -9,6 +9,18 @@ of the reference's C.
 
 __version__ = "0.1.0"
 
-from .ops.checksums_host import adler32, adler32_combine, crc32  # noqa: F401
-from .ops.crc32_math import crc32_combine  # noqa: F401
-from .formats.deflate import deflate_compress_bound  # noqa: F401
+from .api import (  # noqa: F401
+    BAD_DATA,
+    INSUFFICIENT_SPACE,
+    SHORT_OUTPUT,
+    SUCCESS,
+    Compressor,
+    Decompressor,
+    adler32,
+    adler32_combine,
+    crc32,
+    crc32_combine,
+    deflate_compress_bound,
+    gzip_compress_bound,
+    zlib_compress_bound,
+)

@@ -1,0 +1,89 @@
+"""DEFLATE compressor engine: level dispatch, blocking, stored passthrough.
+
+Contract parity with ``libdeflate_deflate_compress``
+(``lib/deflate_compress.c:4030-4072``) and the level table at
+``lib/deflate_compress.c:3927-4013``: levels 0-12 (-1 aliases 6), tiny inputs
+pass through as stored blocks (``max_passthrough_size = 55 - 4*level``),
+level 0 emits stored blocks only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..formats.deflate import SOFT_MAX_BLOCK_LENGTH
+from . import parse_host
+from .emit import BitWriter, emit_stored, flush_block
+
+MIN_LEVEL = 0
+MAX_LEVEL = 12
+DEFAULT_LEVEL = 6
+
+
+def normalize_level(level: int) -> int | None:
+    if level == -1:
+        level = DEFAULT_LEVEL
+    if level < MIN_LEVEL or level > MAX_LEVEL:
+        return None
+    return level
+
+
+def max_passthrough_size(level: int) -> int:
+    if level == 0:
+        return 2**63
+    return 55 - level * 4
+
+
+def _compress_stored(data: bytes) -> bytes:
+    w = BitWriter()
+    emit_stored(w, data, is_final=True)
+    return w.finish()
+
+
+def _split_items_by_input_len(kinds, vals, offs, soft_max: int):
+    """Yield item ranges so each block covers ~soft_max input bytes."""
+    spans = np.where(kinds == 1, vals, 1).astype(np.int64)
+    csum = np.cumsum(spans)
+    start = 0
+    base = 0
+    n = len(kinds)
+    while start < n:
+        cut = int(np.searchsorted(csum, base + soft_max, side="left")) + 1
+        cut = min(cut, n)
+        yield start, cut, base, int(csum[cut - 1])
+        base = int(csum[cut - 1])
+        start = cut
+
+
+def deflate_compress(data: bytes, level: int) -> bytes:
+    """Compress to a raw DEFLATE stream; returns the full stream bytes.
+
+    (The size-vs-out_avail 0-return contract is applied by the API layer.)
+    """
+    if len(data) <= max_passthrough_size(level):
+        return _compress_stored(data)
+
+    if level >= 10:
+        from .parse_optimal import compress_near_optimal
+
+        return compress_near_optimal(data, level)
+
+    params = parse_host.LEVEL_PARAMS[level]
+    kinds, vals, offs = parse_host.parse(data, params)
+
+    w = BitWriter()
+    n_items = len(kinds)
+    for start, cut, in_base, in_end in _split_items_by_input_len(
+        kinds, vals, offs, SOFT_MAX_BLOCK_LENGTH
+    ):
+        flush_block(
+            w,
+            data[in_base:in_end],
+            kinds[start:cut],
+            vals[start:cut],
+            offs[start:cut],
+            is_final=(cut == n_items),
+        )
+    if n_items == 0:
+        emit_stored(w, b"", is_final=True)
+    return w.finish()
