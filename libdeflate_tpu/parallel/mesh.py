@@ -1,0 +1,89 @@
+"""Chunk data parallelism over a JAX device mesh.
+
+The reference has no distributed layer (SURVEY.md §2.3) — DEFLATE's chunked
+usage model (README.md:122-135, programs/benchmark.c:430-538) makes it
+embarrassingly parallel.  This module is the TPU-native realization:
+
+- a 1-D ``Mesh`` over the ``chunks`` axis (ICI within a slice, DCN across
+  hosts — the axis layout is the caller's choice via ``jax.make_mesh``);
+- ``shard_map`` runs the jitted chunk compressor on each device's shard;
+- per-chunk compressed bit-lengths are exchanged with ``all_gather`` over the
+  mesh axis so every participant can compute the byte-exact global layout
+  (the role NCCL gather would play in the reference's world, SURVEY.md §5.8);
+- chunk streams are byte-aligned sync-flushed DEFLATE fragments
+  (compress/tpu_pipeline.py), so ordered assembly is pure concatenation;
+- whole-file CRC-32/Adler-32 trailers come from per-chunk device checksums
+  stitched with the GF(2)/modular combine operators (ops/crc32_math.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # stable alias (newer JAX)
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..compress.tpu_pipeline import compress_chunk_static
+from ..ops.checksums_jax import adler32_fixed, crc32_fixed
+
+
+def make_chunk_mesh(devices=None, axis_name: str = "chunks") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def _per_shard_compress(bufs, lengths, bfinal):
+    """Runs on each device: compress local chunks + local checksums, then
+    all-gather the compressed sizes so every shard knows the global layout."""
+    words, total_bits = jax.vmap(compress_chunk_static)(bufs, lengths, bfinal)
+    crcs = jax.vmap(crc32_fixed)(
+        bufs, lengths, jnp.zeros(bufs.shape[0], jnp.uint32)
+    )
+    adlers = jax.vmap(adler32_fixed)(
+        bufs, lengths, jnp.ones(bufs.shape[0], jnp.uint32)
+    )
+    all_bits = jax.lax.all_gather(total_bits, "chunks", tiled=True)
+    return words, total_bits, crcs, adlers, all_bits
+
+
+def compress_chunks_dp(mesh: Mesh, bufs: np.ndarray, lengths: np.ndarray,
+                       bfinal: np.ndarray):
+    """Compress [B, N] chunks data-parallel over the mesh.
+
+    B must be a multiple of the mesh size (pad with empty chunks).  Returns
+    (words [B, W], total_bits [B], crcs [B], adlers [B], all_bits [B]).
+    """
+    axis = mesh.axis_names[0]
+    spec_in = P(axis)
+    fn = shard_map(
+        _per_shard_compress,
+        mesh=mesh,
+        in_specs=(P(axis, None), spec_in, spec_in),
+        out_specs=(P(axis, None), spec_in, spec_in, spec_in, P(None)),
+        check_vma=False,
+    )
+    jfn = jax.jit(fn)
+    return jfn(jnp.asarray(bufs), jnp.asarray(lengths), jnp.asarray(bfinal))
+
+
+def pad_chunks(data: bytes, chunk_size: int, multiple_of: int):
+    """Split ``data`` into fixed-size padded chunk arrays for the device path."""
+    n = len(data)
+    nchunks = max(-(-n // chunk_size), 1)
+    b = -(-nchunks // multiple_of) * multiple_of
+    bufs = np.zeros((b, chunk_size), dtype=np.uint8)
+    lengths = np.zeros(b, dtype=np.int32)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    for i in range(nchunks):
+        seg = arr[i * chunk_size : (i + 1) * chunk_size]
+        bufs[i, : len(seg)] = seg
+        lengths[i] = len(seg)
+    bfinal = np.zeros(b, dtype=bool)
+    bfinal[nchunks - 1] = True
+    return bufs, lengths, bfinal, nchunks

@@ -8,12 +8,25 @@ forcing the platform, instead of requiring a pod.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon terminal plugin (sitecustomize) programmatically forces
+# jax_platforms="axon,cpu" at interpreter start; override it back to CPU for
+# deterministic, hardware-independent tests.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+except Exception:  # pragma: no cover
+    pass
 
 import numpy as np
 import pytest
