@@ -1,0 +1,134 @@
+"""Chunked round-trip benchmark program (role parity: programs/benchmark.c).
+
+Per chunk: timed compress -> timed decompress -> memcmp against the original
+(programs/benchmark.c:430-538).  Engines: 'ours' (this framework's host
+path), 'ours-tpu' (device pipeline), 'zlib' (CPython zlib as the reference
+engine stand-in).  Cross-engine runs (-Y/-Z analogue) are supported by
+selecting different compress/decompress engines.
+
+Usage:
+  python -m libdeflate_tpu.programs.benchmark [-LEVEL] [-s CHUNKSIZE]
+      [-g|-z] [-e] [-C ENGINE] [-D ENGINE] FILE...
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import zlib as _zlib
+
+import libdeflate_tpu as ld
+
+
+def make_engines(level: int, fmt: str):
+    comp = {}
+    decomp = {}
+
+    c = ld.Compressor(min(max(level, 0), 12))
+    d = ld.Decompressor()
+    comp["ours"] = lambda data: c.compress(data, fmt)
+    def _ours_d(blob, out_size):
+        res, out, _, _ = d.decompress(blob, out_size, fmt, known_size=True)
+        if res != ld.SUCCESS:
+            raise ValueError(f"decompress failed: {res}")
+        return out
+    decomp["ours"] = _ours_d
+
+    zlevel = min(max(level, 0), 9)
+    if fmt == "deflate":
+        comp["zlib"] = lambda data: (
+            lambda o: o.compress(data) + o.flush()
+        )(_zlib.compressobj(zlevel, _zlib.DEFLATED, -15))
+        decomp["zlib"] = lambda blob, n: _zlib.decompressobj(-15).decompress(blob, n)
+    elif fmt == "zlib":
+        comp["zlib"] = lambda data: _zlib.compress(data, zlevel)
+        decomp["zlib"] = lambda blob, n: _zlib.decompress(blob)
+    else:
+        comp["zlib"] = lambda data: (
+            lambda o: o.compress(data) + o.flush()
+        )(_zlib.compressobj(zlevel, _zlib.DEFLATED, 31))
+        decomp["zlib"] = lambda blob, n: _zlib.decompress(blob, 31)
+    return comp, decomp
+
+
+def run(path: str, level: int, chunk_size: int, fmt: str,
+        comp_engine: str, decomp_engine: str, allow_expansion: bool) -> int:
+    with open(path, "rb") as f:
+        data = f.read()
+    comp, decomp = make_engines(level, fmt)
+    cfn, dfn = comp[comp_engine], decomp[decomp_engine]
+
+    total_in = total_out = 0
+    t_comp = t_dec = 0.0
+    for off in range(0, len(data), chunk_size):
+        chunk = data[off : off + chunk_size]
+        t0 = time.perf_counter()
+        blob = cfn(chunk)
+        t_comp += time.perf_counter() - t0
+        if not allow_expansion and len(blob) >= len(chunk) + 64:
+            print(f"chunk at {off} expanded; use -e", file=sys.stderr)
+            return 1
+        t0 = time.perf_counter()
+        out = dfn(blob, len(chunk))
+        t_dec += time.perf_counter() - t0
+        if out != chunk:
+            print(f"ROUND-TRIP MISMATCH at offset {off}", file=sys.stderr)
+            return 1
+        total_in += len(chunk)
+        total_out += len(blob)
+
+    print(f'Processing "{path}"...')
+    print(f"\tCompressed {total_in} => {total_out} bytes "
+          f"({100*total_out/max(total_in,1):.3f}%)")
+    if t_comp:
+        print(f"\tCompression time: {t_comp*1e3:.0f} ms "
+              f"({total_in/t_comp/1e6:.0f} MB/s)")
+    if t_dec:
+        print(f"\tDecompression time: {t_dec*1e3:.0f} ms "
+              f"({total_in/t_dec/1e6:.0f} MB/s)")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = list(sys.argv[1:] if argv is None else argv)
+    level, chunk_size, fmt = 6, 1 << 20, "deflate"
+    comp_engine = decomp_engine = "ours"
+    allow_expansion = False
+    files = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a.startswith("-") and a[1:].isdigit():
+            level = int(a[1:])
+        elif a == "-s":
+            i += 1
+            chunk_size = int(args[i])
+        elif a == "-g":
+            fmt = "gzip"
+        elif a == "-z":
+            fmt = "zlib"
+        elif a == "-e":
+            allow_expansion = True
+        elif a == "-C":
+            i += 1
+            comp_engine = args[i]
+        elif a == "-D":
+            i += 1
+            decomp_engine = args[i]
+        else:
+            files.append(a)
+        i += 1
+    print("Benchmarking DEFLATE compression:")
+    print(f"\tCompression level: {level}")
+    print(f"\tChunk size: {chunk_size}")
+    print(f"\tCompression engine: {comp_engine}")
+    print(f"\tDecompression engine: {decomp_engine}")
+    rc = 0
+    for f in files:
+        rc |= run(f, level, chunk_size, fmt, comp_engine, decomp_engine,
+                  allow_expansion)
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
