@@ -126,6 +126,12 @@ class Decompressor:
     def deflate_decompress(
         self, data, out_nbytes_avail: int, known_size: bool = False
     ):
+        from . import native_backend
+
+        if native_backend.available():
+            return native_backend.deflate_decompress(
+                bytes(data), out_nbytes_avail, known_size
+            )
         return _dhost.deflate_decompress(bytes(data), out_nbytes_avail, known_size)
 
     def zlib_decompress(

@@ -59,9 +59,27 @@ def deflate_compress(data: bytes, level: int) -> bytes:
     """Compress to a raw DEFLATE stream; returns the full stream bytes.
 
     (The size-vs-out_avail 0-return contract is applied by the API layer.)
+
+    Backend dispatch (the analogue of the reference's runtime SIMD dispatch,
+    lib/deflate_compress.c:454-458): the native C++ codec when available,
+    else the pure-Python host path.  LIBDEFLATE_TPU_NO_NATIVE=1 forces
+    Python, exercising both paths like LIBDEFLATE_DISABLE_CPU_FEATURES does
+    for the reference's kernel variants.
     """
     if len(data) <= max_passthrough_size(level):
         return _compress_stored(data)
+
+    if 1 <= level <= 9:
+        from .. import native_backend
+
+        if native_backend.available():
+            from ..formats.deflate import deflate_compress_bound
+
+            out = native_backend.deflate_compress(
+                data, level, deflate_compress_bound(len(data))
+            )
+            if out:
+                return out
 
     if level >= 10:
         from .parse_optimal import compress_near_optimal

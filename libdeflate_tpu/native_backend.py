@@ -1,0 +1,106 @@
+"""ctypes bindings for the native host codec (native/ldtpu_native.cpp).
+
+Builds the shared library on demand with g++ (no pybind11 dependency —
+plain C ABI).  Set LIBDEFLATE_TPU_NO_NATIVE=1 to force the pure-Python host
+path (the analogue of the reference's LIBDEFLATE_DISABLE_CPU_FEATURES
+forced-dispatch test hook, scripts/run_tests.sh:133-165).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_REPO, "native", "ldtpu_native.cpp")
+_SO = os.path.join(_REPO, "native", "libldtpu_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC],
+            check=True, capture_output=True, timeout=300,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("LIBDEFLATE_TPU_NO_NATIVE"):
+            return None
+        if not os.path.exists(_SO) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+        ):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.ld_crc32.restype = ctypes.c_uint32
+        lib.ld_crc32.argtypes = [ctypes.c_uint32, ctypes.c_char_p, ctypes.c_size_t]
+        lib.ld_adler32.restype = ctypes.c_uint32
+        lib.ld_adler32.argtypes = [ctypes.c_uint32, ctypes.c_char_p, ctypes.c_size_t]
+        lib.ld_deflate_compress.restype = ctypes.c_size_t
+        lib.ld_deflate_compress.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t,
+        ]
+        lib.ld_deflate_decompress.restype = ctypes.c_int
+        lib.ld_deflate_decompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def crc32(data: bytes, crc: int = 0) -> int:
+    return int(get_lib().ld_crc32(crc & 0xFFFFFFFF, data, len(data)))
+
+
+def adler32(data: bytes, adler: int = 1) -> int:
+    return int(get_lib().ld_adler32(adler & 0xFFFFFFFF, data, len(data)))
+
+
+def deflate_compress(data: bytes, level: int, out_nbytes_avail: int) -> bytes:
+    buf = ctypes.create_string_buffer(out_nbytes_avail)
+    n = get_lib().ld_deflate_compress(level, data, len(data), buf, out_nbytes_avail)
+    return buf.raw[: int(n)]
+
+
+def deflate_decompress(
+    data: bytes, out_nbytes_avail: int, known_size: bool
+) -> tuple[int, bytes | None, int, int]:
+    buf = ctypes.create_string_buffer(max(out_nbytes_avail, 1))
+    ain = ctypes.c_size_t(0)
+    aout = ctypes.c_size_t(0)
+    res = get_lib().ld_deflate_decompress(
+        data, len(data), buf, out_nbytes_avail,
+        1 if known_size else 0, ctypes.byref(ain), ctypes.byref(aout),
+    )
+    if res != 0:
+        return (int(res), None, 0, 0)
+    return (0, buf.raw[: aout.value], ain.value, aout.value)

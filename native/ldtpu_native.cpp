@@ -1,0 +1,785 @@
+// ldtpu_native.cpp — native host codec for libdeflate_tpu.
+//
+// Role parity with the reference's C library core (whole-buffer DEFLATE
+// compress/decompress + CRC-32/Adler-32), written from scratch in C++17 for
+// this framework's host runtime: the TPU pipeline handles chunk-parallel
+// device compression; this module provides speed-of-light host fallback,
+// the benchmark oracle, and fast decompression until the device decoder
+// catches up.
+//
+// Exposed via a C ABI consumed with ctypes (no pybind11 dependency).
+//
+// Design notes (own design, informed by the format spec RFC 1951/1950/1952):
+//  * compressor: hash-chain matchfinder (hash4 order 15 + hash3 last-occ),
+//    greedy (levels 1-4) and lazy (5-9) parsers, per-block dynamic/static/
+//    stored cost comparison, canonical length-limited Huffman codes via
+//    depth-clamped tree + Kraft fixup, precode RLE.
+//  * decompressor: packed uint32 decode-table entries (same layout as
+//    libdeflate_tpu/huffman/decode_table.py so host/device decoders share a
+//    single documented format), one-level subtables, 64-bit bit buffer.
+//  * checksums: slice-by-8 CRC-32; Adler-32 with 5552-byte mod batching.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+#include <algorithm>
+
+using u8 = uint8_t;  using u16 = uint16_t;  using u32 = uint32_t;  using u64 = uint64_t;
+using s32 = int32_t;
+
+// ---------------------------------------------------------------------------
+// checksums
+// ---------------------------------------------------------------------------
+static u32 crc_table[8][256];
+static bool crc_init_done = false;
+
+static void crc_init_tables() {
+    if (crc_init_done) return;
+    for (u32 b = 0; b < 256; b++) {
+        u32 c = b;
+        for (int k = 0; k < 8; k++) c = (c >> 1) ^ ((c & 1) ? 0xEDB88320u : 0);
+        crc_table[0][b] = c;
+    }
+    for (int t = 1; t < 8; t++)
+        for (u32 b = 0; b < 256; b++)
+            crc_table[t][b] = (crc_table[t-1][b] >> 8) ^ crc_table[0][crc_table[t-1][b] & 0xFF];
+    crc_init_done = true;
+}
+
+extern "C" u32 ld_crc32(u32 init, const u8* p, size_t n) {
+    crc_init_tables();
+    u32 c = ~init;
+    while (n >= 8) {
+        c ^= (u32)p[0] | ((u32)p[1] << 8) | ((u32)p[2] << 16) | ((u32)p[3] << 24);
+        u32 hi = (u32)p[4] | ((u32)p[5] << 8) | ((u32)p[6] << 16) | ((u32)p[7] << 24);
+        c = crc_table[7][c & 0xFF] ^ crc_table[6][(c >> 8) & 0xFF] ^
+            crc_table[5][(c >> 16) & 0xFF] ^ crc_table[4][c >> 24] ^
+            crc_table[3][hi & 0xFF] ^ crc_table[2][(hi >> 8) & 0xFF] ^
+            crc_table[1][(hi >> 16) & 0xFF] ^ crc_table[0][hi >> 24];
+        p += 8; n -= 8;
+    }
+    while (n--) c = (c >> 8) ^ crc_table[0][(c ^ *p++) & 0xFF];
+    return ~c;
+}
+
+extern "C" u32 ld_adler32(u32 init, const u8* p, size_t n) {
+    u32 s1 = init & 0xFFFF, s2 = (init >> 16) & 0xFFFF;
+    while (n) {
+        size_t chunk = n < 5552 ? n : 5552;
+        n -= chunk;
+        while (chunk >= 4) {
+            s1 += p[0]; s2 += s1; s1 += p[1]; s2 += s1;
+            s1 += p[2]; s2 += s1; s1 += p[3]; s2 += s1;
+            p += 4; chunk -= 4;
+        }
+        while (chunk--) { s1 += *p++; s2 += s1; }
+        s1 %= 65521; s2 %= 65521;
+    }
+    return (s2 << 16) | s1;
+}
+
+// ---------------------------------------------------------------------------
+// shared DEFLATE tables
+// ---------------------------------------------------------------------------
+static const u16 LEN_BASE[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,35,43,
+                                 51,59,67,83,99,115,131,163,195,227,258};
+static const u8  LEN_EXTRA[29] = {0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2,3,3,3,3,4,4,4,4,5,5,5,5,0};
+static const u16 OFF_BASE[30] = {1,2,3,4,5,7,9,13,17,25,33,49,65,97,129,193,257,385,
+                                 513,769,1025,1537,2049,3073,4097,6145,8193,12289,16385,24577};
+static const u8  OFF_EXTRA[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,7,7,8,8,9,9,10,10,11,11,12,12,13,13};
+static const u8  PRECODE_PERM[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
+
+static u8 len_to_slot[259];
+static u8 off_slot_small[257];
+static bool slot_init_done = false;
+
+static void slot_init() {
+    if (slot_init_done) return;
+    for (int s = 0; s < 29; s++) {
+        int hi = (s + 1 < 29) ? LEN_BASE[s+1] : 259;
+        for (int l = LEN_BASE[s]; l < hi && l <= 258; l++) len_to_slot[l] = (u8)s;
+    }
+    len_to_slot[258] = 28;
+    for (int s = 0; s < 30; s++) {
+        int hi = (s + 1 < 30) ? OFF_BASE[s+1] : 257;
+        for (int o = OFF_BASE[s]; o < hi && o <= 256; o++) off_slot_small[o] = (u8)s;
+    }
+    slot_init_done = true;
+}
+
+static inline int bsr32(u32 x) { return 31 - __builtin_clz(x); }
+
+static inline unsigned offset_slot(u32 off) {
+    if (off <= 256) return off_slot_small[off];
+    u32 o1 = off - 1;
+    int k = bsr32(o1);
+    return 2 * k + ((o1 >> (k - 1)) & 1);
+}
+
+static inline u32 rev_bits(u32 v, unsigned n) {
+    v = ((v & 0x5555) << 1) | ((v >> 1) & 0x5555);
+    v = ((v & 0x3333) << 2) | ((v >> 2) & 0x3333);
+    v = ((v & 0x0F0F) << 4) | ((v >> 4) & 0x0F0F);
+    v = ((v & 0x00FF) << 8) | ((v >> 8) & 0x00FF);
+    return v >> (16 - n);
+}
+
+// ---------------------------------------------------------------------------
+// Huffman code construction (compress side)
+// ---------------------------------------------------------------------------
+// Two-queue O(n log n) Huffman with depth clamping + Kraft fixup (the classic
+// zlib-style overflow redistribution), then canonical codeword assignment.
+static void make_huffman(const u32* freq, int nsyms, int max_len,
+                         u8* lens, u16* codes) {
+    struct Node { u64 f; int depth; };
+    std::vector<int> order;
+    order.reserve(nsyms);
+    for (int i = 0; i < nsyms; i++) { lens[i] = 0; if (freq[i]) order.push_back(i); }
+    int n = (int)order.size();
+    if (n == 0) {
+        lens[0] = lens[1] = 1;
+        codes[0] = 0; codes[1] = 1;
+        return;
+    }
+    if (n == 1) {
+        int s = order[0];
+        lens[s] = 1; lens[s == 0 ? 1 : 0] = 1;
+        // canonical below handles codes
+    } else {
+        std::sort(order.begin(), order.end(),
+                  [&](int a, int b){ return freq[a] < freq[b] || (freq[a] == freq[b] && a < b); });
+        // two-queue tree build over merged nodes; track leaf depths via parents
+        int total = 2 * n - 1;
+        std::vector<u64> f(total);
+        std::vector<int> parent(total, -1);
+        for (int i = 0; i < n; i++) f[i] = freq[order[i]];
+        int leaf = 0, internal_head = n, internal_tail = n;
+        auto take = [&]() {
+            if (leaf < n && (internal_head >= internal_tail || f[leaf] <= f[internal_head]))
+                return leaf++;
+            return internal_head++;
+        };
+        for (int next = n; next < total; next++) {
+            int a = take(), b = take();
+            f[next] = f[a] + f[b];
+            parent[a] = parent[b] = next;
+            internal_tail = next + 1;
+        }
+        std::vector<int> depth(total, 0);
+        for (int i = total - 2; i >= 0; i--) depth[i] = depth[parent[i]] + 1;
+        // depth clamp + Kraft fixup
+        int cnt[64] = {0};
+        for (int i = 0; i < n; i++) cnt[std::min(depth[i], max_len)]++;
+        long kraft = 0;
+        for (int l = 1; l <= max_len; l++) kraft += (long)cnt[l] << (max_len - l);
+        long full = 1L << max_len;
+        while (kraft > full) {  // overflow: push a deepest-possible code deeper
+            for (int l = max_len - 1; l >= 1; l--) {
+                if (cnt[l]) { cnt[l]--; cnt[l+1]++; kraft -= 1L << (max_len - l - 1); break; }
+            }
+        }
+        while (kraft < full) {  // underfull (from clamping): promote
+            for (int l = max_len; l >= 1; l--) {
+                if (cnt[l] && kraft + (1L << (max_len - l)) <= full) {
+                    // shorten one code of length l to... simpler: add capacity by
+                    // moving one code from l to l-? Instead: lengthen codespace by
+                    // assigning an extra slot at max_len.
+                    break;
+                }
+            }
+            // standard approach: give remaining space to deepest codes by
+            // shortening: find a code at length l whose shortening keeps kraft <= full
+            bool changed = false;
+            for (int l = max_len; l >= 2; l--) {
+                if (cnt[l] && kraft + (1L << (max_len - l)) <= full) {
+                    cnt[l]--; cnt[l-1]++; kraft += 1L << (max_len - l);
+                    changed = true;
+                    break;
+                }
+            }
+            if (!changed) break;  // cannot improve further (kraft < full is valid)
+        }
+        // assign lengths: shortest codes to most frequent symbols
+        int idx = n - 1;  // most frequent at the end of 'order'
+        for (int l = 1; l <= max_len && idx >= 0; l++)
+            for (int c = 0; c < cnt[l] && idx >= 0; c++)
+                lens[order[idx--]] = (u8)l;
+    }
+    // canonical codes + bit reversal
+    int bl_count[16] = {0};
+    for (int i = 0; i < nsyms; i++) bl_count[lens[i]]++;
+    bl_count[0] = 0;
+    u32 code = 0; u32 next_code[16] = {0};
+    for (int l = 1; l <= 15; l++) { code = (code + bl_count[l-1]) << 1; next_code[l] = code; }
+    for (int i = 0; i < nsyms; i++) {
+        if (lens[i]) codes[i] = (u16)rev_bits(next_code[lens[i]]++, lens[i]);
+        else codes[i] = 0;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Bit writer
+// ---------------------------------------------------------------------------
+struct BitWriter {
+    u8* out; size_t cap; size_t pos = 0;
+    u64 buf = 0; unsigned cnt = 0;
+    bool overflow = false;
+    BitWriter(u8* o, size_t c) : out(o), cap(c) {}
+    inline void add(u64 v, unsigned n) {
+        buf |= v << cnt;
+        cnt += n;
+        while (cnt >= 8) {
+            if (pos >= cap) { overflow = true; cnt = 0; buf = 0; return; }
+            out[pos++] = (u8)buf;
+            buf >>= 8; cnt -= 8;
+        }
+    }
+    void align() { if (cnt) add(0, 8 - (cnt & 7)); }
+    size_t finish() { align(); return overflow ? 0 : pos; }
+    u64 bitpos() const { return 8 * pos + cnt; }
+    bool put_bytes(const u8* p, size_t n) {
+        if (pos + n > cap) { overflow = true; return false; }
+        memcpy(out + pos, p, n); pos += n; return true;
+    }
+};
+
+// ---------------------------------------------------------------------------
+// Compressor
+// ---------------------------------------------------------------------------
+static const int HASH4_ORDER = 15, HASH3_ORDER = 14;
+static const u32 HASH_MULT = 0x1E35A7BDu;
+
+struct Item { u32 litlen; u32 len; u32 off; };  // litlen: byte or 257+slot marker unused
+
+struct Seq { u8 kind; u8 pad; u16 len; u32 off_or_lit; };
+
+struct Parser {
+    const u8* in; size_t n;
+    std::vector<s32> head4, prev4, head3;
+    Parser(const u8* p, size_t len) : in(p), n(len),
+        head4(1u << HASH4_ORDER, -1), prev4(len ? len : 1, -1),
+        head3(1u << HASH3_ORDER, -1) {}
+    inline u32 load32(size_t i) const { u32 v; memcpy(&v, in + i, 4); return v; }
+    inline u32 h4(size_t i) const { return (load32(i) * HASH_MULT) >> (32 - HASH4_ORDER); }
+    inline u32 h3(size_t i) const { return ((load32(i) & 0xFFFFFF) * HASH_MULT) >> (32 - HASH3_ORDER); }
+    inline void insert(size_t i) {
+        u32 h = h4(i);
+        prev4[i] = head4[h]; head4[h] = (s32)i;
+        head3[h3(i)] = (s32)i;
+    }
+    inline u32 extend(size_t i, size_t j, u32 limit) const {
+        u32 l = 0;
+        while (l + 8 <= limit) {
+            u64 a, b; memcpy(&a, in + i + l, 8); memcpy(&b, in + j + l, 8);
+            u64 x = a ^ b;
+            if (x) return l + (__builtin_ctzll(x) >> 3);
+            l += 8;
+        }
+        while (l < limit && in[i + l] == in[j + l]) l++;
+        return l;
+    }
+    // best match at i; returns length (0 if < min useful) and offset
+    inline u32 longest(size_t i, u32 best_in, int depth, u32 nice, u32* off_out) const {
+        u32 limit = (u32)std::min<size_t>(258, n - i);
+        if (limit < 3) return 0;
+        u32 best = best_in, boff = 0;
+        u32 nice_c = std::min(nice, limit);
+        s32 j = head3[h3(i)];
+        if (j >= 0 && i - (size_t)j <= 32768) {
+            u32 l = extend(i, j, limit);
+            if (l >= 3 && l > best) { best = l; boff = (u32)(i - j); }
+        }
+        j = head4[h4(i)];
+        while (j >= 0 && i - (size_t)j <= 32768 && depth > 0 && best < nice_c) {
+            if (best >= limit) break;
+            if (in[j + best] == in[i + best]) {
+                u32 l = extend(i, j, limit);
+                if (l > best && l >= 4) { best = l; boff = (u32)(i - j); }
+            }
+            j = prev4[(size_t)j];
+            depth--;
+        }
+        if (!boff || best < 3) return 0;
+        *off_out = boff;
+        return best;
+    }
+};
+
+struct LevelCfg { int kind; int depth; u32 nice; u32 min_len; };
+// kind: 0 greedy, 1 lazy, 2 lazy2(treated as lazy with deeper search)
+static LevelCfg level_cfg(int level) {
+    switch (level) {
+        case 1:  return {0, 2, 32, 4};
+        case 2:  return {0, 6, 10, 3};
+        case 3:  return {0, 12, 14, 3};
+        case 4:  return {0, 16, 30, 3};
+        case 5:  return {1, 16, 30, 3};
+        case 6:  return {1, 35, 65, 3};
+        case 7:  return {1, 100, 130, 3};
+        case 8:  return {2, 300, 258, 3};
+        case 9:  return {2, 600, 258, 3};
+        case 10: return {2, 300, 258, 3};  // host fallback for 10-12
+        case 11: return {2, 500, 258, 3};
+        default: return {2, 800, 258, 3};
+    }
+}
+
+// ---- block flush -----------------------------------------------------------
+struct Freqs { u32 litlen[288] = {0}; u32 off[32] = {0}; };
+
+static void flush_block(BitWriter& bw, const u8* block_data, size_t block_len,
+                        const std::vector<Seq>& seqs, bool is_final) {
+    slot_init();
+    Freqs f;
+    u64 len_extra_bits = 0, off_extra_bits = 0;
+    for (const Seq& s : seqs) {
+        if (s.kind == 0) f.litlen[s.off_or_lit]++;
+        else {
+            unsigned ls = len_to_slot[s.len];
+            unsigned os = offset_slot(s.off_or_lit);
+            f.litlen[257 + ls]++; f.off[os]++;
+            len_extra_bits += LEN_EXTRA[ls];
+            off_extra_bits += OFF_EXTRA[os];
+        }
+    }
+    f.litlen[256]++;
+
+    u8 ll_lens[288]; u16 ll_codes[288];
+    u8 of_lens[32];  u16 of_codes[32];
+    make_huffman(f.litlen, 288, 14, ll_lens, ll_codes);
+    make_huffman(f.off, 32, 15, of_lens, of_codes);
+
+    // body costs
+    u64 dyn_body = len_extra_bits + off_extra_bits, st_body = dyn_body;
+    for (int i = 0; i < 288; i++) {
+        unsigned sl = (i < 144) ? 8 : (i < 256) ? 9 : (i < 280) ? 7 : 8;
+        dyn_body += (u64)f.litlen[i] * ll_lens[i];
+        st_body  += (u64)f.litlen[i] * sl;
+    }
+    for (int i = 0; i < 32; i++) {
+        dyn_body += (u64)f.off[i] * of_lens[i];
+        st_body  += (u64)f.off[i] * 5;
+    }
+
+    // precode over trimmed lens
+    int num_ll = 288; while (num_ll > 257 && !ll_lens[num_ll - 1]) num_ll--;
+    int num_of = 32;  while (num_of > 1 && !of_lens[num_of - 1]) num_of--;
+    u8 all[320]; int tot = 0;
+    for (int i = 0; i < num_ll; i++) all[tot++] = ll_lens[i];
+    for (int i = 0; i < num_of; i++) all[tot++] = of_lens[i];
+    // RLE
+    struct PreItem { u8 sym; u8 xbits; u8 xval; };
+    std::vector<PreItem> pre;
+    u32 pf[19] = {0};
+    for (int i = 0; i < tot; ) {
+        u8 v = all[i]; int run = 1;
+        while (i + run < tot && all[i + run] == v) run++;
+        if (v == 0) {
+            int r = run;
+            while (r >= 11) { int t = std::min(r, 138); pre.push_back({18, 7, (u8)(t - 11)}); pf[18]++; r -= t; }
+            if (r >= 3) { pre.push_back({17, 3, (u8)(r - 3)}); pf[17]++; r = 0; }
+            while (r--) { pre.push_back({0, 0, 0}); pf[0]++; }
+        } else {
+            pre.push_back({v, 0, 0}); pf[v]++;
+            int r = run - 1;
+            while (r >= 3) { int t = std::min(r, 6); pre.push_back({16, 2, (u8)(t - 3)}); pf[16]++; r -= t; }
+            while (r--) { pre.push_back({v, 0, 0}); pf[v]++; }
+        }
+        i += run;
+    }
+    u8 p_lens[19]; u16 p_codes[19];
+    make_huffman(pf, 19, 7, p_lens, p_codes);
+    int num_explicit = 19;
+    while (num_explicit > 4 && !p_lens[PRECODE_PERM[num_explicit - 1]]) num_explicit--;
+
+    u64 dyn_hdr = 5 + 5 + 4 + 3ull * num_explicit;
+    for (const PreItem& it : pre) dyn_hdr += p_lens[it.sym] + it.xbits;
+
+    u64 dyn_cost = 3 + dyn_hdr + dyn_body;
+    u64 st_cost = 3 + st_body;
+    size_t nseg = block_len ? (block_len + 65534) / 65535 : 1;
+    u64 sd_cost = 3 + ((8 - ((bw.bitpos() + 3) & 7)) & 7) + 32 + 40 * (nseg - 1) + 8 * block_len;
+
+    if (sd_cost <= st_cost && sd_cost <= dyn_cost) {
+        size_t pos = 0; bool first = true;
+        while (first || pos < block_len) {
+            first = false;
+            size_t seg = std::min<size_t>(block_len - pos, 65535);
+            bool fin = is_final && (pos + seg == block_len);
+            bw.add(fin ? 1 : 0, 1); bw.add(0, 2); bw.align();
+            u8 hdr[4] = {(u8)seg, (u8)(seg >> 8), (u8)~(u8)seg, (u8)~(u8)(seg >> 8)};
+            if (!bw.put_bytes(hdr, 4)) return;
+            if (!bw.put_bytes(block_data + pos, seg)) return;
+            pos += seg;
+        }
+        return;
+    }
+
+    const u8* use_ll_lens; const u16* use_ll_codes;
+    const u8* use_of_lens; const u16* use_of_codes;
+    static u8 s_ll_lens[288]; static u16 s_ll_codes[288];
+    static u8 s_of_lens[32];  static u16 s_of_codes[32];
+    static bool s_done = false;
+    if (!s_done) {
+        for (int i = 0; i < 288; i++) s_ll_lens[i] = (i < 144) ? 8 : (i < 256) ? 9 : (i < 280) ? 7 : 8;
+        for (int i = 0; i < 32; i++) s_of_lens[i] = 5;
+        int bl[16] = {0}; for (int i = 0; i < 288; i++) bl[s_ll_lens[i]]++;
+        u32 code = 0, nc[16] = {0};
+        for (int l = 1; l <= 15; l++) { code = (code + bl[l-1]) << 1; nc[l] = code; }
+        for (int i = 0; i < 288; i++) s_ll_codes[i] = (u16)rev_bits(nc[s_ll_lens[i]]++, s_ll_lens[i]);
+        for (int i = 0; i < 32; i++) s_of_codes[i] = (u16)rev_bits(i, 5);
+        s_done = true;
+    }
+
+    if (st_cost <= dyn_cost) {
+        bw.add(is_final ? 1 : 0, 1); bw.add(1, 2);
+        use_ll_lens = s_ll_lens; use_ll_codes = s_ll_codes;
+        use_of_lens = s_of_lens; use_of_codes = s_of_codes;
+    } else {
+        bw.add(is_final ? 1 : 0, 1); bw.add(2, 2);
+        bw.add(num_ll - 257, 5); bw.add(num_of - 1, 5); bw.add(num_explicit - 4, 4);
+        for (int i = 0; i < num_explicit; i++) bw.add(p_lens[PRECODE_PERM[i]], 3);
+        for (const PreItem& it : pre) {
+            bw.add(p_codes[it.sym], p_lens[it.sym]);
+            if (it.xbits) bw.add(it.xval, it.xbits);
+        }
+        use_ll_lens = ll_lens; use_ll_codes = ll_codes;
+        use_of_lens = of_lens; use_of_codes = of_codes;
+    }
+
+    for (const Seq& s : seqs) {
+        if (bw.overflow) return;
+        if (s.kind == 0) {
+            bw.add(use_ll_codes[s.off_or_lit], use_ll_lens[s.off_or_lit]);
+        } else {
+            unsigned ls = len_to_slot[s.len];
+            unsigned sym = 257 + ls;
+            u64 v = use_ll_codes[sym];
+            unsigned nb = use_ll_lens[sym];
+            v |= (u64)(s.len - LEN_BASE[ls]) << nb; nb += LEN_EXTRA[ls];
+            unsigned os = offset_slot(s.off_or_lit);
+            v |= (u64)use_of_codes[os] << nb; nb += use_of_lens[os];
+            v |= (u64)(s.off_or_lit - OFF_BASE[os]) << nb; nb += OFF_EXTRA[os];
+            bw.add(v, nb);
+        }
+    }
+    bw.add(use_ll_codes[256], use_ll_lens[256]);
+}
+
+extern "C" size_t ld_deflate_compress(int level, const u8* in, size_t n,
+                                      u8* out, size_t out_avail) {
+    slot_init();
+    if (level < 0 || level > 12) return 0;
+    size_t max_pass = (level == 0) ? SIZE_MAX : (size_t)std::max(55 - level * 4, 0);
+    BitWriter bw(out, out_avail);
+    if (n <= max_pass) {
+        // stored only
+        size_t pos = 0; bool first = true;
+        while (first || pos < n) {
+            first = false;
+            size_t seg = std::min<size_t>(n - pos, 65535);
+            bool fin = (pos + seg == n);
+            bw.add(fin ? 1 : 0, 1); bw.add(0, 2); bw.align();
+            u8 hdr[4] = {(u8)seg, (u8)(seg >> 8), (u8)~(u8)seg, (u8)~(u8)(seg >> 8)};
+            if (!bw.put_bytes(hdr, 4)) return 0;
+            if (!bw.put_bytes(in + pos, seg)) return 0;
+            pos += seg;
+        }
+        return bw.finish();
+    }
+
+    LevelCfg cfg = level_cfg(level);
+    Parser P(in, n);
+    std::vector<Seq> seqs;
+    seqs.reserve(1 << 16);
+    const size_t SOFT_MAX = 300000;
+    size_t block_start = 0;
+    size_t i = 0;
+    size_t end_matchable = n >= 4 ? n - 3 : 0;
+
+    auto emit_block = [&](size_t end, bool fin) {
+        flush_block(bw, in + block_start, end - block_start, seqs, fin);
+        seqs.clear();
+        block_start = end;
+    };
+
+    while (i < n) {
+        if (i >= end_matchable) {
+            seqs.push_back({0, 0, 0, in[i]});
+            i++;
+            continue;
+        }
+        u32 off = 0;
+        u32 len = P.longest(i, cfg.min_len - 1, cfg.depth, cfg.nice, &off);
+        P.insert(i);
+        if (len < cfg.min_len) {
+            seqs.push_back({0, 0, 0, in[i]});
+            i++;
+        } else {
+            if (cfg.kind >= 1) {  // lazy: probe next position(s)
+                while (len < cfg.nice && i + 1 < end_matchable) {
+                    u32 noff = 0;
+                    u32 nlen = P.longest(i + 1, len, std::max(cfg.depth / 2, 1), cfg.nice, &noff);
+                    if (nlen > len &&
+                        4 * (int)(nlen - len) + bsr32(off) - bsr32(noff) > 2) {
+                        seqs.push_back({0, 0, 0, in[i]});
+                        i++;
+                        P.insert(i);
+                        len = nlen; off = noff;
+                    } else break;
+                }
+            }
+            seqs.push_back({1, 0, (u16)len, off});
+            size_t stop = std::min(i + len, end_matchable);
+            for (size_t p2 = i + 1; p2 < stop; p2++) P.insert(p2);
+            i += len;
+        }
+        if (i - block_start >= SOFT_MAX) emit_block(i, i == n);
+        if (bw.overflow) return 0;
+    }
+    if (i > block_start || block_start == 0 || seqs.size())
+        emit_block(n, true);
+    else if (block_start == n) {
+        // ensure final block exists
+    }
+    return bw.finish();
+}
+
+// ---------------------------------------------------------------------------
+// Decompressor (packed-entry tables, same layout as the Python/JAX decoder)
+// ---------------------------------------------------------------------------
+enum { KIND_LITERAL = 0, KIND_MATCH = 1, KIND_EOB = 2, KIND_SUB = 3 };
+static inline u32 pk(u32 kind, u32 payload, u32 extra, u32 consume) {
+    return (kind << 30) | (payload << 16) | (extra << 8) | consume;
+}
+
+struct DecTables {
+    u32 litlen[2342];
+    u32 off[402];
+    u32 pre[128];
+};
+
+// build a packed decode table; returns false on invalid code
+static bool build_table(const u8* lens, int nsyms, int table_bits, u32* table,
+                        int enough, int max_len, int role /*0=pre,1=litlen,2=off*/) {
+    int cnt[16] = {0};
+    for (int i = 0; i < nsyms; i++) cnt[lens[i]]++;
+    long space = 0;
+    for (int l = 1; l <= max_len; l++) space = (space << 1) + cnt[l];
+    long full = 1L << max_len;
+    auto results = [&](int sym) -> u32 {
+        if (role == 0) return pk(KIND_MATCH, sym, 0, 0);
+        if (role == 1) {
+            if (sym < 256) return pk(KIND_LITERAL, sym, 0, 0);
+            if (sym == 256) return pk(KIND_EOB, 0, 0, 0);
+            if (sym <= 285) return pk(KIND_MATCH, LEN_BASE[sym - 257], LEN_EXTRA[sym - 257], 0);
+            return pk(KIND_EOB, 1, 0, 0);
+        }
+        if (sym < 30) return pk(KIND_MATCH, sym, OFF_EXTRA[sym], 0);
+        return pk(KIND_EOB, 1, 0, 0);
+    };
+    if (space > full) return false;
+    if (space < full) {
+        int sym;
+        if (space == 0) sym = 0;
+        else {
+            if (space != (full >> 1) || cnt[1] != 1) return false;
+            sym = 0; while (lens[sym] != 1) sym++;
+        }
+        u32 e = results(sym) | 1;
+        for (int i = 0; i < (1 << table_bits); i++) table[i] = e;
+        return true;
+    }
+    // canonical codes
+    u32 next_code[16]; u32 code = 0;
+    int bl[16] = {0};
+    for (int i = 0; i < nsyms; i++) bl[lens[i]]++;
+    bl[0] = 0;
+    for (int l = 1; l <= 15; l++) { code = (code + bl[l-1]) << 1; next_code[l] = code; }
+    // canonical order traversal
+    std::vector<std::pair<int,int>> order;  // (len, sym)
+    order.reserve(nsyms);
+    for (int i = 0; i < nsyms; i++) if (lens[i]) order.push_back({lens[i], i});
+    std::sort(order.begin(), order.end());
+    int cur_sub = 1 << table_bits, sub_prefix = -1, sub_start = 0, sub_bits = 0;
+    for (size_t oi = 0; oi < order.size(); oi++) {
+        int l = order[oi].first, sym = order[oi].second;
+        u32 rc = rev_bits(next_code[l]++, l);
+        if (l <= table_bits) {
+            for (u32 idx = rc; idx < (1u << table_bits); idx += (1u << l))
+                table[idx] = results(sym) | l;
+        } else {
+            int prefix = rc & ((1 << table_bits) - 1);
+            if (prefix != sub_prefix) {
+                sub_prefix = prefix;
+                // subtable width: longest codeword sharing this prefix
+                int maxl = l;
+                // scan forward over remaining canonical symbols to find the
+                // longest codeword sharing this prefix (simulated assignment)
+                {
+                    u32 saved_nc[16]; memcpy(saved_nc, next_code, sizeof(saved_nc));
+                    for (size_t oj = oi + 1; oj < order.size(); oj++) {
+                        int l2 = order[oj].first;
+                        u32 rc2 = rev_bits(saved_nc[l2]++, l2);
+                        if ((int)(rc2 & ((1 << table_bits) - 1)) == prefix) maxl = l2;
+                    }
+                }
+                sub_bits = maxl - table_bits;
+                sub_start = cur_sub;
+                cur_sub += 1 << sub_bits;
+                if (cur_sub > enough) return false;
+                table[prefix] = pk(KIND_SUB, sub_start, sub_bits, table_bits);
+            }
+            u32 hi = rc >> table_bits;
+            for (u32 idx = hi; idx < (1u << sub_bits); idx += (1u << (l - table_bits)))
+                table[sub_start + idx] = results(sym) | l;
+        }
+    }
+    return true;
+}
+
+struct BitReader {
+    const u8* in; size_t n; size_t pos = 0;
+    u64 buf = 0; unsigned cnt = 0; unsigned overread = 0;
+    BitReader(const u8* p, size_t len) : in(p), n(len) {}
+    inline bool refill() {
+        while (cnt <= 56) {
+            if (pos < n) { buf |= (u64)in[pos++] << cnt; cnt += 8; }
+            else { if (++overread > 8) return false; cnt += 8; }
+        }
+        return true;
+    }
+    inline u32 peek(unsigned nb) const { return (u32)(buf & ((1ull << nb) - 1)); }
+    inline void consume(unsigned nb) { buf >>= nb; cnt -= nb; }
+    inline u32 pop(unsigned nb) { u32 v = peek(nb); consume(nb); return v; }
+    bool align_byte() {
+        unsigned drop = cnt & 7;
+        buf >>= drop; cnt -= drop;
+        if (overread > (cnt >> 3)) return false;  // consumed past real input
+        pos -= (cnt >> 3) - overread;
+        buf = 0; cnt = 0; overread = 0;
+        return true;
+    }
+    bool consumed_real() const { return overread * 8 <= cnt; }
+    size_t consumed_bytes() const { return pos - ((cnt >> 3) - overread); }
+};
+
+extern "C" int ld_deflate_decompress(const u8* in, size_t n, u8* out,
+                                     size_t out_avail, int known_size,
+                                     size_t* actual_in, size_t* actual_out) {
+    // returns 0 SUCCESS, 1 BAD_DATA, 2 SHORT_OUTPUT, 3 INSUFFICIENT_SPACE
+    slot_init();
+    static thread_local DecTables T;
+    static thread_local u8 s_ll[288], s_of[32];
+    BitReader br(in, n);
+    size_t op = 0;
+    bool is_final = false;
+    do {
+        if (!br.refill()) return 1;
+        is_final = br.pop(1);
+        u32 btype = br.pop(2);
+        if (btype == 0) {
+            if (!br.align_byte()) return 1;
+            if (n - br.pos < 4) return 1;
+            u16 len = (u16)(in[br.pos] | (in[br.pos+1] << 8));
+            u16 nlen = (u16)(in[br.pos+2] | (in[br.pos+3] << 8));
+            br.pos += 4;
+            if (len != (u16)~nlen) return 1;
+            if (len > out_avail - op) return 3;
+            if (len > n - br.pos) return 1;
+            memcpy(out + op, in + br.pos, len);
+            br.pos += len; op += len;
+            continue;
+        }
+        if (btype == 1) {
+            for (int i = 0; i < 288; i++) s_ll[i] = (i < 144) ? 8 : (i < 256) ? 9 : (i < 280) ? 7 : 8;
+            for (int i = 0; i < 32; i++) s_of[i] = 5;
+            if (!build_table(s_ll, 288, 11, T.litlen, 2342, 15, 1)) return 1;
+            if (!build_table(s_of, 32, 8, T.off, 402, 15, 2)) return 1;
+        } else if (btype == 2) {
+            if (!br.refill()) return 1;
+            u32 num_ll = 257 + br.pop(5);
+            u32 num_of = 1 + br.pop(5);
+            u32 num_pre = 4 + br.pop(4);
+            u8 pre_lens[19] = {0};
+            for (u32 i = 0; i < num_pre; i++) {
+                if (!br.refill()) return 1;
+                pre_lens[PRECODE_PERM[i]] = (u8)br.pop(3);
+            }
+            if (!build_table(pre_lens, 19, 7, T.pre, 128, 7, 0)) return 1;
+            u8 lens[288 + 32 + 138] = {0};
+            u32 i = 0, total = num_ll + num_of;
+            while (i < total) {
+                if (!br.refill()) return 1;
+                u32 e = T.pre[br.peek(7)];
+                br.consume(e & 0xFF);
+                u32 sym = (e >> 16) & 0x3FFF;
+                if (sym < 16) { lens[i++] = (u8)sym; continue; }
+                u32 rep;
+                u8 val = 0;
+                if (sym == 16) {
+                    if (i == 0) return 1;
+                    val = lens[i - 1];
+                    rep = 3 + br.pop(2);
+                } else if (sym == 17) rep = 3 + br.pop(3);
+                else rep = 11 + br.pop(7);
+                if (i + rep > total) return 1;
+                for (u32 r = 0; r < rep; r++) lens[i + r] = val;
+                i += rep;
+            }
+            if (!build_table(lens, num_ll, 11, T.litlen, 2342, 15, 1)) return 1;
+            if (!build_table(lens + num_ll, num_of, 8, T.off, 402, 15, 2)) return 1;
+        } else return 1;
+
+        // symbol loop
+        for (;;) {
+            if (!br.refill()) return 1;
+            u32 e = T.litlen[br.peek(11)];
+            if ((e >> 30) == KIND_SUB)
+                e = T.litlen[((e >> 16) & 0x3FFF) + ((br.peek(11 + ((e >> 8) & 0xFF)) >> 11))];
+            br.consume(e & 0xFF);
+            u32 kind = e >> 30;
+            u32 payload = (e >> 16) & 0x3FFF;
+            if (kind == KIND_LITERAL) {
+                if (op >= out_avail) return 3;
+                out[op++] = (u8)payload;
+                continue;
+            }
+            if (kind == KIND_EOB) {
+                if (payload) return 1;
+                break;
+            }
+            u32 len = payload + br.pop((e >> 8) & 0xFF);
+            u32 oe = T.off[br.peek(8)];
+            if ((oe >> 30) == KIND_SUB)
+                oe = T.off[((oe >> 16) & 0x3FFF) + (br.peek(8 + ((oe >> 8) & 0xFF)) >> 8)];
+            br.consume(oe & 0xFF);
+            if ((oe >> 30) != KIND_MATCH) return 1;
+            u32 oslot = (oe >> 16) & 0x3FFF;
+            if (br.cnt < 13 && !br.refill()) return 1;
+            u32 off = OFF_BASE[oslot] + br.pop((oe >> 8) & 0xFF);
+            if (off > op) return 1;
+            if (len > out_avail - op) return 3;
+            const u8* src = out + op - off;
+            u8* dst = out + op;
+            op += len;
+            if (off >= len) memcpy(dst, src, len);
+            else if (off == 1) memset(dst, *src, len);
+            else {
+                u32 left = len, avail = off;
+                while (left) {
+                    u32 c = std::min(left, avail);
+                    memcpy(dst, src, c);
+                    dst += c; left -= c; avail += c;
+                }
+            }
+        }
+    } while (!is_final);
+
+    if (!br.consumed_real()) return 1;
+    if (known_size && op != out_avail) return 2;
+    if (actual_in) *actual_in = br.consumed_bytes();
+    if (actual_out) *actual_out = op;
+    return 0;
+}
