@@ -69,7 +69,7 @@ def deflate_compress(data: bytes, level: int) -> bytes:
     if len(data) <= max_passthrough_size(level):
         return _compress_stored(data)
 
-    if 1 <= level <= 9:
+    if level >= 1:
         from .. import native_backend
 
         if native_backend.available():

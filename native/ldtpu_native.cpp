@@ -467,6 +467,160 @@ static void flush_block(BitWriter& bw, const u8* block_data, size_t block_len,
     bw.add(use_ll_codes[256], use_ll_lens[256]);
 }
 
+// ---------------------------------------------------------------------------
+// Near-optimal parse (levels 10-12): match cache + iterated min-cost DP
+// (role parity: deflate_compress_near_optimal, lib/deflate_compress.c:3592-
+//  3849; own implementation over the hash-chain matchfinder).
+// ---------------------------------------------------------------------------
+struct OptCfg { int depth; u32 nice; int passes; };
+static OptCfg opt_cfg(int level) {
+    if (level == 10) return {35, 75, 2};
+    if (level == 11) return {100, 150, 4};
+    return {300, 258, 10};
+}
+
+static const int BIT_COST = 16;
+
+static size_t compress_near_optimal(int level, const u8* in, size_t n,
+                                    u8* out, size_t out_avail) {
+    OptCfg oc = opt_cfg(level);
+    BitWriter bw(out, out_avail);
+    const size_t SOFT_MAX = 300000;
+    Parser P(in, n);
+    size_t end_matchable = n >= 4 ? n - 3 : 0;
+
+    struct CM { u16 len; u16 pad; u32 off; };
+    std::vector<u32> mstart;     // per position: index into mlist
+    std::vector<CM> mlist;
+    std::vector<u64> cost;       // DP cost array (block-sized + 1)
+    std::vector<u16> choice_len;
+    std::vector<u32> choice_off;
+
+    size_t block_start = 0;
+    std::vector<Seq> seqs;
+    while (block_start < n) {
+        size_t block_end = std::min(block_start + SOFT_MAX, n);
+        size_t blen = block_end - block_start;
+
+        // --- collect all matches per position ---
+        mstart.assign(blen + 1, 0);
+        mlist.clear();
+        for (size_t i = block_start; i < block_end; ) {
+            mstart[i - block_start] = (u32)mlist.size();
+            u32 best_here = 0;
+            if (i < end_matchable) {
+                u32 limit = (u32)std::min<size_t>(258, n - i);
+                u32 best = 2;
+                s32 j = P.head3[P.h3(i)];
+                if (j >= 0 && i - (size_t)j <= 32768) {
+                    u32 l = P.extend(i, j, limit);
+                    if (l >= 3) { mlist.push_back({(u16)l, 0, (u32)(i - j)}); best = l; }
+                }
+                int d = oc.depth;
+                j = P.head4[P.h4(i)];
+                u32 nice_c = std::min(oc.nice, limit);
+                while (j >= 0 && i - (size_t)j <= 32768 && d > 0 && best < nice_c) {
+                    if (best < limit && in[j + best] == in[i + best]) {
+                        u32 l = P.extend(i, j, limit);
+                        if (l > best && l >= 4) { mlist.push_back({(u16)l, 0, (u32)(i - j)}); best = l; }
+                    }
+                    j = P.prev4[(size_t)j];
+                    d--;
+                }
+                P.insert(i);
+                best_here = best;
+            }
+            // skip deep insertion inside very long matches (like the reference)
+            if (best_here >= oc.nice && best_here >= 16) {
+                size_t stop = std::min(i + best_here, std::min(block_end, end_matchable));
+                for (size_t p2 = i + 1; p2 < stop; p2++) {
+                    mstart[p2 - block_start] = (u32)mlist.size();
+                    P.insert(p2);
+                }
+                i = stop;
+            } else {
+                i++;
+            }
+        }
+        mstart[blen] = (u32)mlist.size();
+
+        // --- iterated min-cost DP ---
+        u32 lit_cost[256], len_sym_cost[29], off_sym_cost[30];
+        for (int i2 = 0; i2 < 256; i2++) lit_cost[i2] = 13 * BIT_COST;
+        for (int i2 = 0; i2 < 29; i2++) len_sym_cost[i2] = 13 * BIT_COST;
+        for (int i2 = 0; i2 < 30; i2++) off_sym_cost[i2] = 10 * BIT_COST;
+
+        cost.assign(blen + 1, 0);
+        choice_len.assign(blen + 1, 1);
+        choice_off.assign(blen + 1, 0);
+        u64 prev_path_cost = ~0ull;
+        for (int pass = 0; pass < oc.passes; pass++) {
+            u32 len_cost_tab[259];
+            for (int L = 3; L <= 258; L++) {
+                unsigned s = len_to_slot[L];
+                len_cost_tab[L] = len_sym_cost[s] + LEN_EXTRA[s] * BIT_COST;
+            }
+            for (size_t pos = blen; pos-- > 0; ) {
+                u64 best = lit_cost[in[block_start + pos]] + cost[pos + 1];
+                u16 bl = 1; u32 bo = 0;
+                u32 prevlen = 2;
+                for (u32 mi = mstart[pos]; mi < mstart[pos + 1]; mi++) {
+                    u32 mlen = mlist[mi].len, moff = mlist[mi].off;
+                    unsigned os = offset_slot(moff);
+                    u64 ocst = off_sym_cost[os] + (u64)OFF_EXTRA[os] * BIT_COST;
+                    u32 maxL = (u32)std::min<size_t>(mlen, blen - pos);
+                    for (u32 L = prevlen + 1; L <= maxL; L++) {
+                        u64 c = ocst + len_cost_tab[L] + cost[pos + L];
+                        if (c < best) { best = c; bl = (u16)L; bo = moff; }
+                    }
+                    prevlen = mlen;
+                }
+                cost[pos] = best;
+                choice_len[pos] = bl;
+                choice_off[pos] = bo;
+            }
+            if (pass + 1 == oc.passes) break;
+            if (cost[0] + 32 * BIT_COST >= prev_path_cost) break;  // converged
+            prev_path_cost = cost[0];
+            // derive real code lengths from the chosen path, refresh costs
+            Freqs f;
+            for (size_t pos = 0; pos < blen; ) {
+                if (choice_off[pos] == 0 || choice_len[pos] <= 1) {
+                    f.litlen[in[block_start + pos]]++;
+                    pos++;
+                } else {
+                    f.litlen[257 + len_to_slot[choice_len[pos]]]++;
+                    f.off[offset_slot(choice_off[pos])]++;
+                    pos += choice_len[pos];
+                }
+            }
+            f.litlen[256]++;
+            u8 ll[288]; u16 llc[288]; u8 ofl[32]; u16 ofc[32];
+            make_huffman(f.litlen, 288, 14, ll, llc);
+            make_huffman(f.off, 32, 15, ofl, ofc);
+            for (int i2 = 0; i2 < 256; i2++) lit_cost[i2] = (ll[i2] ? ll[i2] : 13) * BIT_COST;
+            for (int i2 = 0; i2 < 29; i2++) len_sym_cost[i2] = (ll[257+i2] ? ll[257+i2] : 13) * BIT_COST;
+            for (int i2 = 0; i2 < 30; i2++) off_sym_cost[i2] = (ofl[i2] ? ofl[i2] : 10) * BIT_COST;
+        }
+
+        // --- path -> seqs, flush ---
+        seqs.clear();
+        for (size_t pos = 0; pos < blen; ) {
+            if (choice_off[pos] == 0 || choice_len[pos] <= 1) {
+                seqs.push_back({0, 0, 0, in[block_start + pos]});
+                pos++;
+            } else {
+                seqs.push_back({1, 0, choice_len[pos], choice_off[pos]});
+                pos += choice_len[pos];
+            }
+        }
+        flush_block(bw, in + block_start, blen, seqs, block_end == n);
+        if (bw.overflow) return 0;
+        block_start = block_end;
+    }
+    return bw.finish();
+}
+
 extern "C" size_t ld_deflate_compress(int level, const u8* in, size_t n,
                                       u8* out, size_t out_avail) {
     slot_init();
@@ -488,6 +642,7 @@ extern "C" size_t ld_deflate_compress(int level, const u8* in, size_t n,
         }
         return bw.finish();
     }
+    if (level >= 10) return compress_near_optimal(level, in, n, out, out_avail);
 
     LevelCfg cfg = level_cfg(level);
     Parser P(in, n);
