@@ -306,6 +306,71 @@ struct Parser {
     }
 };
 
+// ---- block-splitting statistics (role parity: lib/deflate_compress.c:2100-
+//      2218: 8 literal classes + 2 match classes, checked every 512
+//      observations, split when the probability-delta sum crosses 200/512
+//      with short-block penalties) -------------------------------------------
+struct BlockStats {
+    u32 newo[10] = {0}, obs[10] = {0};
+    u32 num_new = 0, num = 0;
+    void reset() { for (int i=0;i<10;i++){newo[i]=0;obs[i]=0;} num_new=0; num=0; }
+    inline void literal(u8 lit) { newo[((lit >> 5) & 0x6) | (lit & 1)]++; num_new++; }
+    inline void match(u32 len) { newo[8 + (len >= 9)]++; num_new++; }
+    void merge() {
+        for (int i = 0; i < 10; i++) { obs[i] += newo[i]; newo[i] = 0; }
+        num += num_new; num_new = 0;
+    }
+    bool should_end(size_t block_len, size_t remaining) {
+        if (num_new < 512 || block_len < 5000 || remaining < 5000) return false;
+        if (num > 0) {
+            u64 total_delta = 0;
+            for (int i = 0; i < 10; i++) {
+                u64 expected = (u64)obs[i] * num_new;
+                u64 actual = (u64)newo[i] * num;
+                total_delta += actual > expected ? actual - expected : expected - actual;
+            }
+            u64 num_items = num + num_new;
+            u64 cutoff = (u64)(num_new * 200 / 512) * num;
+            if (block_len < 10000 && num_items < 8192)
+                cutoff += cutoff * (8192 - num_items) / 8192;
+            if (total_delta + (block_len / 4096) * num >= cutoff)
+                return true;
+        }
+        merge();
+        return false;
+    }
+};
+
+// ---- adaptive minimum match length (policy parity: choose_min_match_len /
+//      calculate_min_match_len, lib/deflate_compress.c:2295-2378) ------------
+static u32 choose_min_len(u32 used, u32 depth) {
+    u32 m = used <= 5 ? 9 : used <= 7 ? 8 : used <= 9 ? 7
+          : used <= 15 ? 6 : used <= 44 ? 5 : used <= 79 ? 4 : 3;
+    if (depth < 5) m = std::min(m, 4u);
+    else if (depth < 10) m = std::min(m, 5u);
+    else if (depth < 16) m = std::min(m, 7u);
+    return m;
+}
+
+static u32 initial_min_len(const u8* p, size_t n, u32 depth) {
+    if (n < 512) return 3;
+    bool used[256] = {false};
+    size_t lim = std::min<size_t>(n, 4096);
+    for (size_t i = 0; i < lim; i++) used[p[i]] = true;
+    u32 cnt = 0;
+    for (int i = 0; i < 256; i++) cnt += used[i];
+    return choose_min_len(cnt, depth);
+}
+
+static u32 recalc_min_len(const u32* litlen_freq, u32 depth) {
+    u32 total = 0;
+    for (int i = 0; i < 256; i++) total += litlen_freq[i];
+    u32 cutoff = total >> 10;
+    u32 cnt = 0;
+    for (int i = 0; i < 256; i++) if (litlen_freq[i] > cutoff) cnt++;
+    return choose_min_len(cnt, depth);
+}
+
 struct LevelCfg { int kind; int depth; u32 nice; u32 min_len; };
 // kind: 0 greedy, 1 lazy, 2 lazy2(treated as lazy with deeper search)
 static LevelCfg level_cfg(int level) {
@@ -498,11 +563,15 @@ static size_t compress_near_optimal(int level, const u8* in, size_t n,
 
     size_t block_start = 0;
     std::vector<Seq> seqs;
+    BlockStats stats;
     while (block_start < n) {
-        size_t block_end = std::min(block_start + SOFT_MAX, n);
+        size_t max_block_end =
+            (n - block_start < SOFT_MAX + 5000) ? n : block_start + SOFT_MAX;
+        size_t block_end = max_block_end;
         size_t blen = block_end - block_start;
+        stats.reset();
 
-        // --- collect all matches per position ---
+        // --- collect all matches per position (with online split check) ---
         mstart.assign(blen + 1, 0);
         mlist.clear();
         for (size_t i = block_start; i < block_end; ) {
@@ -530,6 +599,9 @@ static size_t compress_near_optimal(int level, const u8* in, size_t n,
                 P.insert(i);
                 best_here = best;
             }
+            // split-stat observation (reference observes during collection)
+            if (best_here >= 4) stats.match(best_here);
+            else stats.literal(in[i]);
             // skip deep insertion inside very long matches (like the reference)
             if (best_here >= oc.nice && best_here >= 16) {
                 size_t stop = std::min(i + best_here, std::min(block_end, end_matchable));
@@ -540,6 +612,13 @@ static size_t compress_near_optimal(int level, const u8* in, size_t n,
                 i = stop;
             } else {
                 i++;
+            }
+            // end the block early at a detected statistics change point
+            if (stats.should_end(i - block_start, n - i)) {
+                block_end = i;
+                blen = block_end - block_start;
+                mstart.resize(blen + 1);
+                break;
             }
         }
         mstart[blen] = (u32)mlist.size();
@@ -648,55 +727,122 @@ extern "C" size_t ld_deflate_compress(int level, const u8* in, size_t n,
     Parser P(in, n);
     std::vector<Seq> seqs;
     seqs.reserve(1 << 16);
-    const size_t SOFT_MAX = 300000;
-    size_t block_start = 0;
-    size_t i = 0;
+    const size_t SOFT_MAX = 300000, MIN_BLOCK = 5000, SEQ_CAP = 50000;
     size_t end_matchable = n >= 4 ? n - 3 : 0;
+    size_t in_next = 0;
+    BlockStats stats;
+    u32 lit_freq[256];
 
-    auto emit_block = [&](size_t end, bool fin) {
-        flush_block(bw, in + block_start, end - block_start, seqs, fin);
-        seqs.clear();
-        block_start = end;
+    auto insert_span = [&](size_t from, size_t to) {
+        size_t stop = std::min(to, end_matchable);
+        for (size_t p = from; p < stop; p++) P.insert(p);
     };
 
-    while (i < n) {
-        if (i >= end_matchable) {
-            seqs.push_back({0, 0, 0, in[i]});
-            i++;
-            continue;
-        }
-        u32 off = 0;
-        u32 len = P.longest(i, cfg.min_len - 1, cfg.depth, cfg.nice, &off);
-        P.insert(i);
-        if (len < cfg.min_len) {
-            seqs.push_back({0, 0, 0, in[i]});
-            i++;
-        } else {
-            if (cfg.kind >= 1) {  // lazy: probe next position(s)
-                while (len < cfg.nice && i + 1 < end_matchable) {
-                    u32 noff = 0;
-                    u32 nlen = P.longest(i + 1, len, std::max(cfg.depth / 2, 1), cfg.nice, &noff);
-                    if (nlen > len &&
-                        4 * (int)(nlen - len) + bsr32(off) - bsr32(noff) > 2) {
-                        seqs.push_back({0, 0, 0, in[i]});
-                        i++;
-                        P.insert(i);
-                        len = nlen; off = noff;
-                    } else break;
-                }
-            }
+    // Block loop structure parity: deflate_compress_lazy_generic
+    // (lib/deflate_compress.c:2604-2808) incl. the greedy variant.
+    while (in_next < n && !bw.overflow) {
+        size_t block_begin = in_next;
+        size_t rem = n - in_next;
+        size_t max_block_end = rem < SOFT_MAX + MIN_BLOCK ? n : in_next + SOFT_MAX;
+        stats.reset();
+        seqs.clear();
+        memset(lit_freq, 0, sizeof lit_freq);
+        u32 min_len = (level == 1)
+            ? 4
+            : initial_min_len(in + in_next, max_block_end - in_next, cfg.depth);
+        size_t next_recalc = in_next + std::min<size_t>(rem, 10000);
+
+        auto choose_literal = [&](u8 b) {
+            seqs.push_back({0, 0, 0, b});
+            lit_freq[b]++;
+            stats.literal(b);
+        };
+        auto choose_match = [&](u32 len, u32 off) {
             seqs.push_back({1, 0, (u16)len, off});
-            size_t stop = std::min(i + len, end_matchable);
-            for (size_t p2 = i + 1; p2 < stop; p2++) P.insert(p2);
-            i += len;
-        }
-        if (i - block_start >= SOFT_MAX) emit_block(i, i == n);
-        if (bw.overflow) return 0;
-    }
-    if (i > block_start || block_start == 0 || seqs.size())
-        emit_block(n, true);
-    else if (block_start == n) {
-        // ensure final block exists
+            stats.match(len);
+        };
+
+        do {
+            if (in_next >= next_recalc && level != 1) {
+                min_len = recalc_min_len(lit_freq, cfg.depth);
+                next_recalc += std::min(n - next_recalc, in_next - block_begin);
+            }
+            if (in_next >= end_matchable) {
+                choose_literal(in[in_next]);
+                in_next++;
+                continue;
+            }
+            u32 cur_off = 0;
+            u32 cur_len = P.longest(in_next, min_len - 1, cfg.depth, cfg.nice, &cur_off);
+            P.insert(in_next);
+            if (cur_len < min_len || (cur_len == 3 && cur_off > 8192)) {
+                choose_literal(in[in_next]);
+                in_next++;
+                continue;
+            }
+            in_next++;  // position consumed by the match head
+
+            if (cfg.kind == 0) {  // greedy
+                choose_match(cur_len, cur_off);
+                insert_span(in_next, in_next + cur_len - 1);
+                in_next += cur_len - 1;
+                continue;
+            }
+
+            for (;;) {  // have_cur_match
+                if (cur_len >= cfg.nice || in_next >= end_matchable) {
+                    choose_match(cur_len, cur_off);
+                    insert_span(in_next, in_next + cur_len - 1);
+                    in_next += cur_len - 1;
+                    break;
+                }
+                // probe the next position at half depth
+                u32 next_off = 0;
+                u32 next_len = P.longest(in_next, cur_len - 1, cfg.depth >> 1,
+                                         cfg.nice, &next_off);
+                P.insert(in_next);
+                in_next++;
+                if (next_len >= cur_len &&
+                    4 * (int)(next_len - cur_len) +
+                        (bsr32(cur_off) - bsr32(next_off)) > 2) {
+                    choose_literal(in[in_next - 2]);
+                    cur_len = next_len;
+                    cur_off = next_off;
+                    continue;  // goto have_cur_match
+                }
+                if (cfg.kind == 2 && in_next < end_matchable) {
+                    // lazy2: look one more position ahead at quarter depth
+                    next_len = P.longest(in_next, cur_len - 1, cfg.depth >> 2,
+                                         cfg.nice, &next_off);
+                    P.insert(in_next);
+                    in_next++;
+                    if (next_len >= cur_len &&
+                        4 * (int)(next_len - cur_len) +
+                            (bsr32(cur_off) - bsr32(next_off)) > 6) {
+                        choose_literal(in[in_next - 3]);
+                        choose_literal(in[in_next - 2]);
+                        cur_len = next_len;
+                        cur_off = next_off;
+                        continue;
+                    }
+                    choose_match(cur_len, cur_off);
+                    if (cur_len > 3) {
+                        insert_span(in_next, in_next + cur_len - 3);
+                        in_next += cur_len - 3;
+                    }
+                    break;
+                }
+                // plain lazy: no better match; emit the current one
+                choose_match(cur_len, cur_off);
+                insert_span(in_next, in_next + cur_len - 2);
+                in_next += cur_len - 2;
+                break;
+            }
+        } while (in_next < max_block_end && seqs.size() < SEQ_CAP &&
+                 !stats.should_end(in_next - block_begin, n - in_next));
+
+        flush_block(bw, in + block_begin, in_next - block_begin, seqs,
+                    in_next == n);
     }
     return bw.finish();
 }
