@@ -1,40 +1,49 @@
 """TPU compress pipeline: fully-jitted, fixed-shape, chunk-parallel DEFLATE.
 
 This is the TPU-native re-derivation of the level-1 path (ht_matchfinder +
-greedy parse + block emit) as array programs — NOT a translation of the C:
+greedy parse + block emit, lib/deflate_compress.c:2451-2523) as dense array
+programs.  The v2 design is built from a measured cost model of the target
+chip: elementwise VPU passes and small batched sorts are cheap; random
+gathers (~10-40 ns/elem), scatters, big sorts, and `jnp.cumsum` are the
+expensive primitives — so every stage below is formulated to avoid them.
 
 1. **Hashing** — the reference's multiplicative hash over 4-byte windows
-   (lib/matchfinder_common.h:168-172) is computed for every position at once.
-2. **Matchfinding** — instead of a mutable hash table (sequential insert),
-   the nearest previous occurrence of each position's hash is found with ONE
-   stable sort: positions sorted by hash keep ascending order inside each
-   bucket, so each sorted neighbor IS the most-recent prior candidate.  This
-   considers *every* prior position (a superset of ht_matchfinder's 2-entry
-   buckets, lib/ht_matchfinder.h:57-60).
-3. **Extension** — match lengths via word-at-a-time comparison (lz_extend's
-   role): the i-side words are contiguous slices; the j-side is one 2-D
-   sliced gather.  Capped at the level's nice length (32 for level 1,
-   lib/deflate_compress.c:3935).
-4. **Greedy commit** — the inherently sequential "advance by match length"
-   scan becomes segmented binary lifting: jump tables give each position's
-   chain landing at its segment boundary, tiny per-segment state tables are
-   composed with `associative_scan`, and an in-segment lockstep replay
-   recovers the exact per-position commit mask.  O(log n) depth, ~11 gathers.
+   (lib/matchfinder_common.h:168-172), one elementwise pass.
+2. **Matchfinding: segment-local multi-operand sort.**  Positions are
+   grouped into 32 KiB segments (the DEFLATE window size — no match may
+   reach farther back anyway) and each segment is sorted by
+   ``hash<<15 | local_pos`` with the position's own first 8 bytes carried
+   as sort *payloads*.  After the sort, each entry's nearest previous
+   same-hash candidate is simply its left neighbor, and the candidate's
+   bytes are that neighbor's payload — the LZ "hash table probe" and the
+   first 8 bytes of ``lz_extend`` collapse into shifted compares with ZERO
+   gathers.  A second (payload) sort keyed on local position un-permutes.
+   Batched 32K-segment sorts are ~10x cheaper than one global sort on TPU.
+3. **Run extension: offset-wise log-doubling.**  For small offsets d=1..8
+   (runs, the only place long matches matter at level 1), match length at
+   every position is the run length of ``b[i]==b[i-d]``, computed exactly
+   up to 258 by 9 doubling passes — pure shifts and selects, no gathers.
+   This exceeds the reference level-1 cap (nice_len=32) for run data.
+4. **Greedy commit: independent 512-position segments.**  The inherently
+   sequential "advance by match length" scan runs as a `lax.scan` FSM over
+   512 steps, vectorized across all segments, with matches truncated at
+   segment boundaries (<=0.5% ratio cost).  No cross-segment state, no
+   associative scan, no gathers.
 5. **Emission** — ONE fused (value, nbits) column per position (a match's
-   litlen code + length extra + offset code + offset extra is <= 31 bits for
-   the static code); exclusive prefix sum of nbits gives bit offsets; a
-   disjoint-bit scatter-add packs the final words.  Block header, EOB, and a
-   byte-aligning sync-flush marker (empty stored block carrying BFINAL) are
-   emitted as pseudo-items, so each chunk's output is a *byte-aligned*
-   DEFLATE fragment that concatenates into one stream by pure byte append.
+   litlen code + length extra + offset code + offset extra is <= 31 bits
+   for the static code), all codewords computed arithmetically in-register
+   (clz/shift formulas; zero table gathers).
+6. **Bit packing** — exclusive prefix sum of bit lengths via exact-f32
+   triangular matmuls on the MXU (jnp.cumsum is pathologically slow on
+   TPU); positions pre-merge into 32-position group buffers with one-hot
+   selects (disjoint-bit adds); one small scatter-add places whole groups.
 
-All symbol tables (length/offset slots, static Huffman codewords, bit
-reversal) are computed arithmetically in-register — zero table gathers on
-the emission path (the reference's table-driven approach maps badly onto TPU
-gathers; clz/shift formulas map perfectly onto the VPU).
+Each chunk's output is a *byte-aligned* DEFLATE fragment (one non-final
+static-Huffman block plus an empty stored block carrying BFINAL — a sync
+flush), so chunk streams concatenate by pure byte append.
 
-The host/API layer falls back to a stored block when the device stream would
-exceed it, preserving the compress_bound contract
+The host/API layer falls back to a stored block when the device stream
+would exceed it, preserving the compress_bound contract
 (lib/deflate_compress.c:4087-4135).
 """
 
@@ -46,8 +55,11 @@ import numpy as np
 
 MULT = 0x1E35A7BD
 HASH_ORDER = 15
-MAX_CAP = 32  # level-1 nice match length; also the FSM segment size
 MIN_MATCH = 4
+SORT_SEG = 32768   # matchfinder segment (== DEFLATE max match offset)
+FSM_SEG = 512      # greedy-commit segment (parse truncation boundary)
+RLE_MAX_D = 8      # offsets covered exactly by the run-extension path
+MAX_LEN = 258
 
 
 # --------------------------------------------------------------------------
@@ -129,10 +141,10 @@ def _offset_slot(off: jax.Array):
 # --------------------------------------------------------------------------
 # Pipeline stages
 # --------------------------------------------------------------------------
-def _le32_words(b: jax.Array) -> jax.Array:
+def _le32_words(b: jax.Array, extra_pad: int = 4) -> jax.Array:
     """uint32 little-endian word starting at every byte position."""
     n = b.shape[0]
-    bp = jnp.pad(b, (0, 4)).astype(jnp.uint32)
+    bp = jnp.pad(b, (0, extra_pad)).astype(jnp.uint32)
     return (
         bp[:n]
         | (bp[1 : n + 1] << jnp.uint32(8))
@@ -141,113 +153,200 @@ def _le32_words(b: jax.Array) -> jax.Array:
     )
 
 
-def _nearest_prev_same_hash(h: jax.Array) -> jax.Array:
-    """For each position, the nearest previous position with equal hash
-    (-1 if none), via one stable sort — the sort-based matchfinder."""
+def _segment_sizes(n: int) -> tuple[int, int, int]:
+    """(padded_n, sort_seg, fsm_seg) for a chunk of n positions."""
+    if n >= SORT_SEG:
+        np_ = -(-n // SORT_SEG) * SORT_SEG
+        return np_, SORT_SEG, FSM_SEG
+    if n >= FSM_SEG:
+        np_ = -(-n // FSM_SEG) * FSM_SEG
+        return np_, np_, FSM_SEG
+    np_ = -(-n // _GROUP) * _GROUP
+    return np_, np_, np_
+
+
+def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array, seg: int):
+    """Nearest previous same-hash candidate per position via ONE batched
+    segment sort carrying the position's own 8 bytes as payloads; LCP<=8
+    computed by neighbor compares in sorted order; a second payload sort
+    keyed on local position un-permutes.  Returns (mlen<=8, dist)."""
     n = h.shape[0]
-    order = jnp.argsort(h, stable=True)  # within equal h: ascending position
-    h_sorted = h[order]
-    prev_sorted = jnp.concatenate([jnp.full((1,), -1, jnp.int32), order[:-1]])
-    same = jnp.concatenate(
-        [jnp.zeros((1,), bool), h_sorted[1:] == h_sorted[:-1]]
+    m = n // seg
+    lp = jax.lax.broadcasted_iota(jnp.uint32, (m, seg), 1)
+    key = (h.reshape(m, seg).astype(jnp.uint32) << jnp.uint32(15)) | lp
+    sk, sw, sw4 = jax.lax.sort(
+        (key, w.reshape(m, seg), w4.reshape(m, seg)), num_keys=1, dimension=1
     )
-    cand_sorted = jnp.where(same, prev_sorted, -1)
-    cand = jnp.zeros(n, jnp.int32).at[order].set(cand_sorted)
-    return cand
+    shash = sk >> jnp.uint32(15)
+    slp = sk & jnp.uint32(32767)
+    phash = jnp.roll(shash, 1, axis=1)
+    pw = jnp.roll(sw, 1, axis=1)
+    pw4 = jnp.roll(sw4, 1, axis=1)
+    plp = jnp.roll(slp, 1, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (m, seg), 1)
+    same = (shash == phash) & (shash != jnp.uint32(1 << HASH_ORDER)) & (col > 0)
+    eq4 = same & (sw == pw)
+    eq8 = eq4 & (sw4 == pw4)
+    mlen = jnp.where(eq8, jnp.uint32(8), jnp.where(eq4, jnp.uint32(4), 0))
+    dist = jnp.where(eq4, slp - plp, jnp.uint32(0))
+    payload = (mlen << jnp.uint32(16)) | dist
+    _, pay = jax.lax.sort((slp, payload), num_keys=1, dimension=1)
+    pay = pay.reshape(n)
+    mlen8 = (pay >> jnp.uint32(16)).astype(jnp.int32)
+    dist8 = (pay & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    return _chain_extend(mlen8, dist8)
 
 
-def _match_lengths(words: jax.Array, j: jax.Array, cap: jax.Array):
-    """LCP(position, j) in bytes, up to MAX_CAP.  i-side: contiguous slices;
-    j-side: one 2-D sliced gather of MAX_CAP/4 consecutive words."""
-    n = words.shape[0]
-    k = MAX_CAP // 4
-    wpad = jnp.pad(words, (0, MAX_CAP))
-    wi = jnp.stack([wpad[4 * t : 4 * t + n] for t in range(k)], axis=1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1) * 4
-    wj = wpad[j[:, None] + col]
-    x = wi ^ wj
-    full = x == 0
-    tz_bytes = jnp.where(
-        (x & jnp.uint32(0xFF)) != 0,
-        0,
-        jnp.where(
-            (x & jnp.uint32(0xFFFF)) != 0,
-            1,
-            jnp.where((x & jnp.uint32(0xFFFFFF)) != 0, 2, 3),
-        ),
-    )
-    add = jnp.where(full, 4, tz_bytes)
-    alive = jnp.cumprod(
-        jnp.concatenate(
-            [jnp.ones((x.shape[0], 1), jnp.int32), full.astype(jnp.int32)[:, :-1]],
-            axis=1,
-        ),
-        axis=1,
-    )
-    length = jnp.sum(add * alive, axis=1).astype(jnp.int32)
-    return jnp.minimum(length, cap)
+def _chain_extend(mlen: jax.Array, dist: jax.Array):
+    """Extend 8-byte-capped matches to MAX_LEN by stride-8 log-doubling:
+    if lcp(i, i-d) >= 8 and position i+8's candidate has the SAME d, then
+    lcp(i, i-d) = 8 + lcp(i+8, i+8-d) exactly.  Six shift/select passes
+    replace the reference's byte-serial lz_extend for long matches
+    (lib/matchfinder_common.h:178-222)."""
+    n = mlen.shape[0]
+    r = mlen
+    s = 8
+    while s < MAX_LEN:
+        r_s = jnp.concatenate([r[s:], jnp.zeros(s, jnp.int32)])
+        d_s = jnp.concatenate([dist[s:], jnp.zeros(s, jnp.int32)])
+        r = r + jnp.where((r == s) & (d_s == dist), r_s, 0)
+        s *= 2
+    return jnp.minimum(r, MAX_LEN), dist
 
 
-def _greedy_commit(span: jax.Array) -> jax.Array:
-    """Parallel greedy parse via segmented binary lifting (see module doc).
+def _rle_matchfind(b: jax.Array, live: jax.Array):
+    """Exact run-match lengths (<= MAX_LEN) for offsets 1..RLE_MAX_D via
+    log-doubling — the TPU replacement for the reference's long-match
+    extension on run data (lz_extend, lib/matchfinder_common.h:178-222).
+    Returns (best_len, best_d); best_len already capped at MAX_LEN."""
+    n = b.shape[0]
+    best_len = jnp.zeros(n, jnp.int32)
+    best_d = jnp.ones(n, jnp.int32)
+    for d in range(1, RLE_MAX_D + 1):
+        eq = jnp.concatenate(
+            [jnp.zeros(d, bool), b[d:] == b[:-d]]
+        ) & live
+        r = eq.astype(jnp.int32)
+        s = 1
+        while s < MAX_LEN:
+            nxt = jnp.concatenate([r[s:], jnp.zeros(s, jnp.int32)])
+            r = r + jnp.where(r == s, nxt, 0)
+            s *= 2
+        r = jnp.minimum(r, MAX_LEN)
+        better = r > best_len
+        best_len = jnp.where(better, r, best_len)
+        best_d = jnp.where(better, d, best_d)
+    return best_len, best_d
 
-    Exactly equivalent to: i=0; while i<n: commit[i]=True; i+=span[i].
-    """
+
+def _greedy_commit(span: jax.Array, is_match: jax.Array, seg: int):
+    """Greedy parse as independent `seg`-position segments: a lax.scan FSM
+    over the segment, vectorized across segments; matches are truncated at
+    segment boundaries (a truncation below 3 bytes falls back to a
+    literal).  Exactly: i=seg_start; while: commit[i]; i += eff[i].
+    Returns (committed mask, eff span) per position."""
     n = span.shape[0]
-    S = MAX_CAP
-    m = -(-n // S)
-    n_pad = m * S
-    span_p = jnp.concatenate([span, jnp.ones(n_pad - n, jnp.int32)])
-    spans2 = span_p.reshape(m, S)
+    m = n // seg
+    span_t = span.reshape(m, seg).T          # [seg, m]
+    match_t = is_match.reshape(m, seg).T
+    remaining = jnp.arange(seg, 0, -1, dtype=jnp.int32)  # seg - t
 
-    # Per-segment state tables built by a GATHER-FREE lockstep replay: run
-    # the FSM for all 32 possible entry states of every segment at once.
-    # state rule: e==0 -> commit here, e = span-1; else e -= 1.
-    e = jnp.broadcast_to(
-        jax.lax.broadcasted_iota(jnp.int32, (1, S), 1), (m, S)
+    def step(e, xs):
+        sp, im, rem = xs
+        commit = e == 0
+        trunc = jnp.minimum(sp, rem)
+        eff = jnp.where(im & (trunc >= 3), trunc, 1)
+        e = jnp.where(commit, eff - 1, e - 1)
+        return e, (commit, eff)
+
+    _, (commits, effs) = jax.lax.scan(
+        step, jnp.zeros(m, jnp.int32), (span_t, match_t, remaining)
     )
-    for t in range(S):
-        st = spans2[:, t : t + 1]
-        e = jnp.where(e > 0, e - 1, st - 1)
-    tables = e.astype(jnp.int8)  # [m, S]: entry state -> exit state
-
-    def combine(a, b):  # b applied after a
-        return jnp.take_along_axis(b, a.astype(jnp.int32), axis=-1)
-
-    scanned = jax.lax.associative_scan(combine, tables, axis=0)
-    entry = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), scanned[:-1, 0].astype(jnp.int32)]
-    )
-
-    e = entry
-    commits = []
-    for t in range(S):
-        commits.append(e == 0)
-        e = jnp.where(e > 0, e - 1, spans2[:, t] - 1)
-    mask = jnp.stack(commits, axis=1).reshape(n_pad)
-    return mask[:n]
+    return commits.T.reshape(n), effs.T.reshape(n)
 
 
-def _pack_bits(values: jax.Array, nbits: jax.Array, nwords: int):
-    """Exclusive-prefix-sum bit layout + disjoint-bit scatter-add packing."""
-    offs = jnp.cumsum(nbits) - nbits
-    total = offs[-1] + nbits[-1]
-    word_idx = (offs >> 5).astype(jnp.int32)
-    shift = (offs & 31).astype(jnp.uint32)
+def _exclusive_bit_offsets(nb: jax.Array):
+    """Exclusive prefix sum of per-position bit counts via exact triangular
+    f32 matmuls on the MXU (values < 2^24 throughout: total stream bits are
+    <= 9.5 * n < 2^24 for n <= 1 MiB).  jnp.cumsum on TPU is ~50 ms for 1M
+    elements; this is <1 ms.  Returns (exclusive offsets, total)."""
+    n = nb.shape[0]
+    C = 128
+    if n % C != 0 or n <= C:
+        total = jnp.sum(nb)
+        return jnp.cumsum(nb) - nb, total
+    R = n // C
+    x = nb.reshape(R, C).astype(jnp.float32)
+    tri = jnp.triu(jnp.ones((C, C), jnp.float32))
+    row_inc = jax.lax.dot(x, tri, precision=jax.lax.Precision.HIGHEST)
+    tot = row_inc[:, -1]
+    if R % C == 0 and R > C:
+        R2 = R // C
+        t2 = tot.reshape(R2, C)
+        tri2 = tri
+        rc = jax.lax.dot(t2, tri2, precision=jax.lax.Precision.HIGHEST)
+        top = jnp.cumsum(rc[:, -1]) - rc[:, -1]
+        row_base = (rc - t2 + top[:, None]).reshape(R)
+    else:
+        row_base = jnp.cumsum(tot) - tot
+    offs = (row_inc - x + row_base[:, None]).astype(jnp.int32).reshape(n)
+    total = (row_base[-1] + tot[-1]).astype(jnp.int32)
+    return offs, total
+
+
+_GROUP = 32
+_GROUP_CAPW = 10  # 32 positions * <=9 bits = 288 bits -> 9 words + carry
+
+
+def _group_pack(values: jax.Array, nbits: jax.Array, offs: jax.Array,
+                nwords: int) -> jax.Array:
+    """Pack per-position (value, nbits) items at absolute bit offsets
+    `offs` into a word array, WITHOUT a per-item scatter: 32-position
+    groups pre-merge into 10-word buffers with one-hot disjoint-bit sums
+    (a group of 32 positions never exceeds 288 bits under the static
+    code), then one small scatter-add places whole groups."""
+    n = values.shape[0]
+    m = n // _GROUP
+    v = values.reshape(m, _GROUP)
+    nb = nbits.reshape(m, _GROUP).astype(jnp.uint32)
+    o = offs.reshape(m, _GROUP)
+    goff = o[:, :1]
+    loff = (o - goff).astype(jnp.uint32)          # < 288
     mask = jnp.where(
-        nbits >= 32,
-        jnp.uint32(0xFFFFFFFF),
-        (jnp.uint32(1) << nbits.astype(jnp.uint32)) - 1,
+        nb >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << nb) - jnp.uint32(1)
     )
-    v = values & mask
-    lo = (v << shift).astype(jnp.uint32)
-    hi = jnp.where(
-        shift > 0, (v >> (jnp.uint32(32) - shift)).astype(jnp.uint32), 0
-    ).astype(jnp.uint32)
+    vm = v & mask
+    sb = loff & jnp.uint32(31)
+    lo = vm << sb
+    hi = jnp.where(sb > 0, vm >> (jnp.uint32(32) - jnp.maximum(sb, 1)), 0)
+    wsel = (loff >> jnp.uint32(5)).astype(jnp.int32)[:, :, None]
+    widx = jnp.arange(_GROUP_CAPW, dtype=jnp.int32)[None, None, :]
+    # disjoint bit positions within a group -> integer add == bitwise OR
+    buf = jnp.sum(
+        jnp.where(wsel == widx, lo[:, :, None], 0)
+        + jnp.where(wsel == widx - 1, hi[:, :, None], 0),
+        axis=1,
+        dtype=jnp.uint32,
+    )                                              # [m, CAPW]
+    gs = (goff[:, 0].astype(jnp.uint32)) & jnp.uint32(31)
+    gw = (goff[:, 0] >> 5).astype(jnp.int32)
+    bufp = jnp.concatenate([jnp.zeros((m, 1), jnp.uint32), buf], axis=1)
+    slo = buf << gs[:, None]
+    shi = jnp.where(
+        (gs > 0)[:, None], bufp[:, :-1] >> (jnp.uint32(32) - jnp.maximum(gs, 1))[:, None], 0
+    )
+    last_hi = jnp.where(
+        (gs > 0)[:, None],
+        bufp[:, -1:] >> (jnp.uint32(32) - jnp.maximum(gs, 1))[:, None],
+        0,
+    )
+    sbuf = jnp.concatenate(
+        [slo, jnp.zeros((m, 1), jnp.uint32)], axis=1
+    ) | jnp.concatenate([shi, last_hi], axis=1)
+    tgt = gw[:, None] + jnp.arange(_GROUP_CAPW + 1, dtype=jnp.int32)[None, :]
     words = jnp.zeros(nwords, jnp.uint32)
-    words = words.at[word_idx].add(lo, mode="drop")
-    words = words.at[word_idx + 1].add(hi, mode="drop")
-    return words, total
+    words = words.at[tgt.reshape(-1)].add(sbuf.reshape(-1), mode="drop")
+    return words
 
 
 def compress_chunk_static(b: jax.Array, length: jax.Array, bfinal: jax.Array):
@@ -259,35 +358,42 @@ def compress_chunk_static(b: jax.Array, length: jax.Array, bfinal: jax.Array):
     W is static: ceil((9*N + 128) / 32) — all-9-bit-literals worst case.
     """
     n = b.shape[0]
-    words_u32 = _le32_words(b)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    n_pad, sort_seg, fsm_seg = _segment_sizes(n)
+    bp = jnp.pad(b, (0, n_pad - n))
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0]
+    live = pos < length
+
+    words_u32 = _le32_words(bp, extra_pad=8)
+    w4 = jnp.concatenate([words_u32[4:], jnp.zeros(4, jnp.uint32)])
 
     h = ((words_u32 * jnp.uint32(MULT)) >> jnp.uint32(32 - HASH_ORDER)).astype(
-        jnp.int32
+        jnp.uint32
     )
-    # Positions beyond the valid prefix get unique out-of-range hashes so
-    # they never pollute real buckets.
-    h = jnp.where(pos + 3 < length, h, (1 << HASH_ORDER) + pos)
+    # positions without 4 valid bytes go to a junk bucket no real hash hits
+    h = jnp.where(pos + MIN_MATCH <= length, h, jnp.uint32(1 << HASH_ORDER))
 
-    cand = _nearest_prev_same_hash(h)
-    dist = pos - cand
-    valid = (cand >= 0) & (dist <= 32768)
-    cap = jnp.clip(length - pos, 0, MAX_CAP)
-    mlen = jnp.where(valid, _match_lengths(words_u32, jnp.maximum(cand, 0), cap), 0)
-    is_match = mlen >= MIN_MATCH
-    span = jnp.where(is_match, mlen, 1)
+    mlen_s, dist_s = _sorted_matchfind(h, words_u32, w4, sort_seg)
+    mlen_r, dist_r = _rle_matchfind(bp, live)
 
-    committed = _greedy_commit(span)
-    live = pos < length
-    commit_lit = committed & live & ~is_match
-    commit_match = committed & live & is_match
+    cap = jnp.clip(length - pos, 0, MAX_LEN)
+    mlen_s = jnp.minimum(mlen_s, cap)
+    mlen_r = jnp.minimum(mlen_r, cap)
+    use_r = (mlen_r >= MIN_MATCH) & (mlen_r >= mlen_s)
+    use_s = ~use_r & (mlen_s >= MIN_MATCH)
+    is_match = use_r | use_s
+    span = jnp.where(use_r, mlen_r, jnp.where(use_s, mlen_s, 1))
+    dist = jnp.where(use_r, dist_r, dist_s)
+
+    committed, eff = _greedy_commit(span, is_match, fsm_seg)
+    commit_match = committed & (eff >= 3) & live
+    commit_lit = committed & (eff < 3) & live
 
     # --- fused per-position emission column (match <= 31 bits) -------------
-    lit_code, lit_bits = _static_litlen_code(b.astype(jnp.int32))
+    lit_code, lit_bits = _static_litlen_code(bp.astype(jnp.int32))
 
-    lslot, lbase, lextra = _length_slot(jnp.maximum(mlen, 3))
+    lslot, lbase, lextra = _length_slot(jnp.maximum(eff, 3))
     lsym_code, lsym_bits = _static_litlen_code(257 + lslot)
-    lx = (mlen - lbase).astype(jnp.uint32)
+    lx = (eff - lbase).astype(jnp.uint32)
 
     oslot, obase, oextra = _offset_slot(jnp.maximum(dist, 1))
     ocode = _rev(oslot.astype(jnp.uint32), jnp.full_like(oslot, 5))
@@ -302,29 +408,36 @@ def compress_chunk_static(b: jax.Array, length: jax.Array, bfinal: jax.Array):
     c = jnp.where(commit_match, match_val, jnp.where(commit_lit, lit_code, 0))
     nb = jnp.where(commit_match, match_bits, jnp.where(commit_lit, lit_bits, 0))
 
-    # --- header + EOB + sync-flush pseudo-items ----------------------------
-    hdr_val = jnp.full((1,), 0b010, jnp.uint32)  # BFINAL=0, BTYPE=01
-    hdr_bits = jnp.full((1,), 3, jnp.int32)
-    eob_val = jnp.zeros((1,), jnp.uint32)  # static code for 256 is 0000000
-    eob_bits = jnp.full((1,), 7, jnp.int32)
-
-    body_bits = 3 + jnp.sum(nb) + 7
-    sync_hdr_val = jnp.where(bfinal, jnp.uint32(1), jnp.uint32(0))[None]
-    sync_hdr_bits = jnp.full((1,), 3, jnp.int32)
-    pad_val = jnp.zeros((1,), jnp.uint32)
-    pad_bits = ((-(body_bits + 3)) % 8)[None].astype(jnp.int32)
-    lennlen_val = jnp.full((1,), 0xFFFF0000, jnp.uint32)
-    lennlen_bits = jnp.full((1,), 32, jnp.int32)
-
-    values = jnp.concatenate(
-        [hdr_val, c, eob_val, sync_hdr_val, pad_val, lennlen_val]
-    )
-    nbits = jnp.concatenate(
-        [hdr_bits, nb, eob_bits, sync_hdr_bits, pad_bits, lennlen_bits]
-    )
+    # --- layout: 3-bit header, body, EOB, byte-align, sync-flush marker ----
+    offs, body_bits = _exclusive_bit_offsets(nb)
+    offs = offs + 3
 
     nwords = (9 * n + 128 + 31) // 32
-    return _pack_bits(values, nbits, nwords)
+    words = _group_pack(c, nb, offs, nwords)
+
+    # header (BFINAL=0,BTYPE=01), EOB (7 zero bits), sync stored header
+    end = body_bits + 3
+    pad_bits = (-(end + 7 + 3)) % 8
+    tail_vals = jnp.stack(
+        [
+            jnp.uint32(0b010),                      # block header at bit 0
+            jnp.uint32(0),                          # EOB at `end`
+            jnp.where(bfinal, jnp.uint32(1), jnp.uint32(0)),  # sync hdr
+            jnp.uint32(0xFFFF0000),                 # LEN=0 NLEN=0xFFFF
+        ]
+    )
+    tail_offs = jnp.stack(
+        [jnp.int32(0), end, end + 7, end + 7 + 3 + pad_bits]
+    )
+    tsb = (tail_offs & 31).astype(jnp.uint32)
+    tlo = tail_vals << tsb
+    thi = jnp.where(tsb > 0, tail_vals >> (jnp.uint32(32) - jnp.maximum(tsb, 1)), 0)
+    tw = tail_offs >> 5
+    words = words.at[tw].add(tlo, mode="drop")
+    words = words.at[tw + 1].add(thi, mode="drop")
+
+    total_bits = end + 7 + 3 + pad_bits + 32
+    return words, total_bits
 
 
 @jax.jit
