@@ -23,10 +23,10 @@ import time
 import numpy as np
 
 CHUNK = 1 << 20  # 1 MiB chunks (the reference benchmark's default)
-BATCH = 4        # chunks per device dispatch -> 4 MiB per dispatch
+BATCH = 8        # chunks per device dispatch (tuned: best MB/s on v5e)
 CORPUS_MB = 16
 REF_BENCH = "/tmp/refbuild/programs/benchmark"
-FALLBACK_BASELINE_GBPS = 0.35  # libdeflate -1 compress, typical server core
+FALLBACK_BASELINE_GBPS = 0.186  # libdeflate -1 compress, measured on this host
 
 
 def make_corpus(total_mb: int = CORPUS_MB) -> bytes:
@@ -61,8 +61,27 @@ def make_corpus(total_mb: int = CORPUS_MB) -> bytes:
     return b"".join(parts)[: total_mb * 1024 * 1024]
 
 
+def build_reference() -> None:
+    """Build the reference benchmark binary (once) for a live baseline."""
+    if os.path.exists(REF_BENCH):
+        return
+    try:
+        os.makedirs("/tmp/refbuild", exist_ok=True)
+        subprocess.run(
+            ["cmake", "-G", "Ninja", "-DCMAKE_BUILD_TYPE=Release",
+             "-DLIBDEFLATE_BUILD_TESTS=ON", "/root/reference"],
+            cwd="/tmp/refbuild", capture_output=True, timeout=300,
+        )
+        subprocess.run(
+            ["ninja"], cwd="/tmp/refbuild", capture_output=True, timeout=300
+        )
+    except Exception:
+        pass
+
+
 def measure_baseline(corpus_path: str) -> float | None:
     """libdeflate level-1 compress GB/s via the reference benchmark binary."""
+    build_reference()
     if not os.path.exists(REF_BENCH):
         return None
     try:

@@ -344,8 +344,13 @@ def _group_pack(values: jax.Array, nbits: jax.Array, offs: jax.Array,
         [slo, jnp.zeros((m, 1), jnp.uint32)], axis=1
     ) | jnp.concatenate([shi, last_hi], axis=1)
     tgt = gw[:, None] + jnp.arange(_GROUP_CAPW + 1, dtype=jnp.int32)[None, :]
+    # clamp instead of drop-mode: out-of-range rows only carry zero bits,
+    # and the in-bounds promise avoids XLA's per-update bounds masking
+    tgt = jnp.minimum(tgt, nwords - 1)
     words = jnp.zeros(nwords, jnp.uint32)
-    words = words.at[tgt.reshape(-1)].add(sbuf.reshape(-1), mode="drop")
+    words = words.at[tgt.reshape(-1)].add(
+        sbuf.reshape(-1), mode="promise_in_bounds"
+    )
     return words
 
 
