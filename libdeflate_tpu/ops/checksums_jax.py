@@ -26,14 +26,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .crc32_math import ADVANCE_POW2, CRC_BIT_TABLE
+from .crc32_math import (
+    ADVANCE_POW2,
+    BLOCK_BITS_MATRIX,
+    CRC_BIT_TABLE,
+    CRC_BLOCK,
+)
 
 ADLER_MOD = 65521
-_ADLER_LANES = 2048
+# 256 bytes per row: MXU row sums stay < 256*255*255 < 2^24, exact in f32
+_ADLER_LANES = 256
 
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _mod_sum(x: jax.Array) -> jax.Array:
+    """sum(x) % ADLER_MOD for x with entries < ADLER_MOD, overflow-safe in
+    int32 for up to 128*32768 entries (1 GiB chunks at 256 B/row)."""
+    n = x.shape[0]
+    if n <= 32768:
+        return jnp.sum(x) % ADLER_MOD
+    m = _ceil_to(n, 128) // 128
+    x2 = jnp.pad(x, (0, m * 128 - n)).reshape(m, 128)
+    return jnp.sum(jnp.sum(x2, axis=1) % ADLER_MOD) % ADLER_MOD
 
 
 def adler32_fixed(buf: jax.Array, length: jax.Array, adler_init: jax.Array):
@@ -46,21 +63,44 @@ def adler32_fixed(buf: jax.Array, length: jax.Array, adler_init: jax.Array):
     rows = _ceil_to(n, cols) // cols
     pad = rows * cols - n
 
-    idx = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) * cols + (
-        jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    )
-    b = jnp.pad(buf, (0, pad)).reshape(rows, cols).astype(jnp.int32)
-    b = jnp.where(idx < length, b, 0)
-
     s1_init = (adler_init & jnp.uint32(0xFFFF)).astype(jnp.int32)
     s2_init = (adler_init >> jnp.uint32(16)).astype(jnp.int32)
 
-    row_sum = jnp.sum(b, axis=1)  # < 255*cols, fits int32
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    row_wsum = jnp.sum(b * col_ids, axis=1)  # < 255*cols^2/2, fits int32
+    # The reference's VNNI dot-product (lib/x86/adler32_template.h) becomes
+    # ONE MXU matmul: [rows, cols] @ [cols, 2] with weight columns (1, col).
+    # bf16 inputs are exact (values <= 255), products <= 255*255 are exact,
+    # and f32 row sums <= 256*255*255 < 2^24 are exact.  The only per-byte
+    # VPU work is the u8 -> bf16 convert: the `length` prefix mask is applied
+    # per ROW, with the single straddling row recomputed exactly on the side.
+    b2 = jnp.pad(buf, (0, pad)).reshape(rows, cols)
+    wts = jnp.stack(
+        [
+            jnp.ones(cols, jnp.float32),
+            jnp.arange(cols, dtype=jnp.float32),
+        ],
+        axis=1,
+    ).astype(jnp.bfloat16)
+    sums = jax.lax.dot(
+        b2.astype(jnp.bfloat16), wts, preferred_element_type=jnp.float32
+    )
+
+    # partial (boundary) row, masked exactly
+    r_b = jnp.minimum(length // cols, rows - 1).astype(jnp.int32)
+    rem = length - r_b * cols  # in [0, cols] valid bytes in row r_b
+    prow = jax.lax.dynamic_slice(b2, (r_b, 0), (1, cols))[0].astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cols, 1), 0)[:, 0]
+    prow = jnp.where(lane < rem, prow, 0)
+    psum = jnp.sum(prow)
+    pwsum = jnp.sum(prow * lane)
+
+    rid = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)[:, 0]
+    full = rid < r_b
+    at_b = rid == r_b
+    row_sum = jnp.where(full, sums[:, 0].astype(jnp.int32), jnp.where(at_b, psum, 0))
+    row_wsum = jnp.where(full, sums[:, 1].astype(jnp.int32), jnp.where(at_b, pwsum, 0))
 
     # s1 = (s1_init + sum b) mod p : per-row mod keeps the int32 sum small.
-    s1 = (s1_init + jnp.sum(row_sum % ADLER_MOD)) % ADLER_MOD
+    s1 = (s1_init + _mod_sum(row_sum % ADLER_MOD)) % ADLER_MOD
 
     # weighted = sum_i (length - i) * b_i
     #          = sum_r [ (length - r*cols) * S_r - W_r ]          (mod p)
@@ -70,7 +110,7 @@ def adler32_fixed(buf: jax.Array, length: jax.Array, adler_init: jax.Array):
         w_r.astype(jnp.uint32) * (row_sum % ADLER_MOD).astype(jnp.uint32)
     ) % jnp.uint32(ADLER_MOD)
     weighted = (
-        jnp.sum(prod.astype(jnp.int32)) - jnp.sum(row_wsum % ADLER_MOD)
+        _mod_sum(prod.astype(jnp.int32)) - _mod_sum(row_wsum % ADLER_MOD)
     ) % ADLER_MOD
     len_s1 = (
         (length % ADLER_MOD).astype(jnp.uint32) * s1_init.astype(jnp.uint32)
@@ -81,6 +121,13 @@ def adler32_fixed(buf: jax.Array, length: jax.Array, adler_init: jax.Array):
 
 _ADV = jnp.asarray(np.asarray(ADVANCE_POW2))  # [40, 32] uint32
 _BITTAB = jnp.asarray(np.asarray(CRC_BIT_TABLE))  # [8] uint32
+_CRC_LOG_BLOCK = CRC_BLOCK.bit_length() - 1
+# [8*CRC_BLOCK, 32] 0/1 matrix: MXU operand for the intra-block reduction
+_BLOCK_MAT = jnp.asarray(
+    (
+        (np.asarray(BLOCK_BITS_MATRIX)[:, None] >> np.arange(32)[None, :]) & 1
+    ).astype(np.float32)
+).astype(jnp.bfloat16)
 
 
 def _mat_vec_const(cols: jax.Array, v: jax.Array) -> jax.Array:
@@ -120,20 +167,39 @@ def crc32_fixed(buf: jax.Array, length: jax.Array, crc_init: jax.Array):
     reduced by the log-depth constant-matrix tree.
     """
     n = buf.shape[0]
-    logn = max((n - 1).bit_length(), 0) if n > 1 else 0
-    size = 1 << logn
+    size = _ceil_to(max(n, 1), CRC_BLOCK)
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     masked = jnp.where(idx < length, buf, 0)
     pad = size - n
     window = jnp.pad(masked, (pad, 0))
-    # Rotate right so that byte length-1 lands at the last slot.
+    # Rotate right so that byte length-1 lands at the last slot (leading
+    # zero bytes are the identity for the raw register).
     window = jnp.roll(window, size - pad - length)
 
-    v = _crc_leaves(window)
-    for level in range(logn):
+    # Intra-block reduction on the MXU: bit-plane expansion, then one exact
+    # f32 matmul against the constant contribution matrix, then mod 2.  This
+    # replaces the reference's PCLMUL folding (lib/x86/crc32_pclmul_template.h)
+    # with the same linear-map math in matrix form.
+    nb = size // CRC_BLOCK
+    w = window.reshape(nb, CRC_BLOCK).astype(jnp.int32)
+    bits = (
+        (w[:, :, None] >> jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8), 2)) & 1
+    ).astype(jnp.bfloat16).reshape(nb, CRC_BLOCK * 8)
+    vf = jax.lax.dot(bits, _BLOCK_MAT, preferred_element_type=jnp.float32)
+    vi = vf.astype(jnp.int32).astype(jnp.uint32) & jnp.uint32(1)
+    pow2 = jnp.left_shift(
+        jnp.uint32(1),
+        jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1),
+    )
+    v = jnp.sum(vi * pow2, axis=1, dtype=jnp.uint32)  # [nb] raw registers
+
+    # Inter-block combine tree at block granularity.
+    nb2 = 1 << max((nb - 1).bit_length(), 0)
+    v = jnp.concatenate([jnp.zeros(nb2 - nb, jnp.uint32), v])
+    for level in range(nb2.bit_length() - 1):
         left = v[0::2]
         right = v[1::2]
-        v = _mat_vec_const(_ADV[level], left) ^ right
+        v = _mat_vec_const(_ADV[_CRC_LOG_BLOCK + level], left) ^ right
     raw = v[0]
 
     init_reg = ~crc_init.astype(jnp.uint32)

@@ -102,6 +102,26 @@ def advance(crc_reg, nbytes: int):
     return v
 
 
+# MXU block matrix: BLOCK_BITS_MATRIX[p*8 + k] is the raw-register
+# contribution of bit k of the byte at position p within a CRC_BLOCK-byte
+# block (the whole intra-block reduction collapses into ONE GF(2) mat-vec,
+# done on the MXU as an exact f32 matmul followed by mod-2).
+CRC_BLOCK = 512
+
+
+def _make_block_bits_matrix(k_bytes: int = CRC_BLOCK) -> np.ndarray:
+    rows = np.zeros((k_bytes, 8), dtype=np.uint32)
+    vals = CRC_BIT_TABLE.copy()  # contributions at the LAST byte position
+    adv1 = ADVANCE_POW2[0]
+    for p in range(k_bytes - 1, -1, -1):
+        rows[p] = vals
+        vals = mat_vec(adv1, vals)
+    return rows.reshape(k_bytes * 8)
+
+
+BLOCK_BITS_MATRIX = _make_block_bits_matrix()
+
+
 def crc32_combine(crc1: int, crc2: int, len2: int) -> int:
     """CRC of A||B from crc32(A), crc32(B), |B| — zlib-compatible.
 
