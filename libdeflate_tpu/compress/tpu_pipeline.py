@@ -299,19 +299,20 @@ _GROUP_CAPW = 10  # 32 positions * <=9 bits = 288 bits -> 9 words + carry
 
 
 def _group_pack(values: jax.Array, nbits: jax.Array, offs: jax.Array,
-                nwords: int) -> jax.Array:
+                nwords: int, capw: int = _GROUP_CAPW) -> jax.Array:
     """Pack per-position (value, nbits) items at absolute bit offsets
     `offs` into a word array, WITHOUT a per-item scatter: 32-position
-    groups pre-merge into 10-word buffers with one-hot disjoint-bit sums
-    (a group of 32 positions never exceeds 288 bits under the static
-    code), then one small scatter-add places whole groups."""
+    groups pre-merge into `capw`-word buffers with one-hot disjoint-bit
+    sums (a group of 32 positions never exceeds 288 bits under the static
+    code; 352 under a length-11-capped dynamic code), then one small
+    scatter-add places whole groups."""
     n = values.shape[0]
     m = n // _GROUP
     v = values.reshape(m, _GROUP)
     nb = nbits.reshape(m, _GROUP).astype(jnp.uint32)
     o = offs.reshape(m, _GROUP)
     goff = o[:, :1]
-    loff = (o - goff).astype(jnp.uint32)          # < 288
+    loff = (o - goff).astype(jnp.uint32)          # < 32 * capw
     mask = jnp.where(
         nb >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << nb) - jnp.uint32(1)
     )
@@ -320,7 +321,7 @@ def _group_pack(values: jax.Array, nbits: jax.Array, offs: jax.Array,
     lo = vm << sb
     hi = jnp.where(sb > 0, vm >> (jnp.uint32(32) - jnp.maximum(sb, 1)), 0)
     wsel = (loff >> jnp.uint32(5)).astype(jnp.int32)[:, :, None]
-    widx = jnp.arange(_GROUP_CAPW, dtype=jnp.int32)[None, None, :]
+    widx = jnp.arange(capw, dtype=jnp.int32)[None, None, :]
     # disjoint bit positions within a group -> integer add == bitwise OR
     buf = jnp.sum(
         jnp.where(wsel == widx, lo[:, :, None], 0)
@@ -343,7 +344,7 @@ def _group_pack(values: jax.Array, nbits: jax.Array, offs: jax.Array,
     sbuf = jnp.concatenate(
         [slo, jnp.zeros((m, 1), jnp.uint32)], axis=1
     ) | jnp.concatenate([shi, last_hi], axis=1)
-    tgt = gw[:, None] + jnp.arange(_GROUP_CAPW + 1, dtype=jnp.int32)[None, :]
+    tgt = gw[:, None] + jnp.arange(capw + 1, dtype=jnp.int32)[None, :]
     # clamp instead of drop-mode: out-of-range rows only carry zero bits,
     # and the in-bounds promise avoids XLA's per-update bounds masking
     tgt = jnp.minimum(tgt, nwords - 1)
@@ -354,14 +355,10 @@ def _group_pack(values: jax.Array, nbits: jax.Array, offs: jax.Array,
     return words
 
 
-def compress_chunk_static(b: jax.Array, length: jax.Array, bfinal: jax.Array):
-    """Compress one chunk (uint8[N], valid prefix `length`) into a
-    *byte-aligned* raw-DEFLATE fragment: one non-final static-Huffman block
-    plus an empty stored block carrying BFINAL (sync flush).
-
-    Returns (words uint32[W], total_bits int32) with total_bits % 8 == 0.
-    W is static: ceil((9*N + 128) / 32) — all-9-bit-literals worst case.
-    """
+def _parse_chunk(b: jax.Array, length: jax.Array):
+    """Shared greedy LZ parse: matchfind (sorted + RLE paths), combine,
+    segment-FSM commit.  Returns (bp, pos, commit_match, commit_lit, eff,
+    dist) over the padded position array."""
     n = b.shape[0]
     n_pad, sort_seg, fsm_seg = _segment_sizes(n)
     bp = jnp.pad(b, (0, n_pad - n))
@@ -392,6 +389,19 @@ def compress_chunk_static(b: jax.Array, length: jax.Array, bfinal: jax.Array):
     committed, eff = _greedy_commit(span, is_match, fsm_seg)
     commit_match = committed & (eff >= 3) & live
     commit_lit = committed & (eff < 3) & live
+    return bp, pos, commit_match, commit_lit, eff, dist
+
+
+def compress_chunk_static(b: jax.Array, length: jax.Array, bfinal: jax.Array):
+    """Compress one chunk (uint8[N], valid prefix `length`) into a
+    *byte-aligned* raw-DEFLATE fragment: one non-final static-Huffman block
+    plus an empty stored block carrying BFINAL (sync flush).
+
+    Returns (words uint32[W], total_bits int32) with total_bits % 8 == 0.
+    W is static: ceil((9*N + 128) / 32) — all-9-bit-literals worst case.
+    """
+    n = b.shape[0]
+    bp, pos, commit_match, commit_lit, eff, dist = _parse_chunk(b, length)
 
     # --- fused per-position emission column (match <= 31 bits) -------------
     lit_code, lit_bits = _static_litlen_code(bp.astype(jnp.int32))

@@ -1,0 +1,118 @@
+"""Dynamic-Huffman device pipeline tests (CPU backend; same code as TPU).
+
+Mirrors the reference's block-type coverage: dynamic blocks must
+round-trip through the zlib oracle and through our own decoder, and the
+per-chunk dynamic/static choice must never lose to the static-only path
+(cf. the block-type compare at lib/deflate_compress.c:1748-1814)."""
+
+import zlib
+
+import numpy as np
+import pytest
+
+import libdeflate_tpu as ld
+
+
+@pytest.fixture(scope="module")
+def dyn():
+    import jax.numpy as jnp
+
+    from libdeflate_tpu.compress import tpu_dynamic as td
+    from libdeflate_tpu.compress import tpu_pipeline as tp
+
+    return td, tp, jnp
+
+
+N = 8192
+
+
+def make_chunks(payloads, n=N):
+    bufs = np.zeros((len(payloads), n), dtype=np.uint8)
+    lens = np.zeros(len(payloads), dtype=np.int32)
+    for i, p in enumerate(payloads):
+        bufs[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+        lens[i] = len(p)
+    return bufs, lens
+
+
+class TestDynamicBlocks:
+    def test_roundtrip_mixed_payloads(self, dyn, rng):
+        td, tp, jnp = dyn
+        payloads = [
+            b"",
+            b"a",
+            b"abcd" * 2048,
+            (b"the quick brown fox jumps over the lazy dog. " * 200)[:N],
+            rng.integers(0, 256, size=N, dtype=np.uint8).tobytes(),
+            rng.integers(97, 105, size=N, dtype=np.uint8).tobytes(),
+            b"\x00" * N,
+            bytes(range(256)) * (N // 256),
+        ]
+        bufs, lens = make_chunks(payloads)
+        words, totals = td.compress_chunks_dynamic(
+            jnp.asarray(bufs), jnp.asarray(lens), jnp.ones(len(lens), bool)
+        )
+        words, totals = np.asarray(words), np.asarray(totals)
+        d = ld.Decompressor()
+        for i, p in enumerate(payloads):
+            stream = tp.device_stream_to_bytes(words[i], totals[i])
+            assert zlib.decompressobj(-15).decompress(stream) == p, i
+            res, out, ain, aout = d.deflate_decompress(
+                stream, len(p), known_size=True
+            )
+            assert res == ld.SUCCESS and out == p, i
+
+    def test_beats_or_matches_static(self, dyn, rng):
+        td, tp, jnp = dyn
+        payloads = [
+            (b"a common phrase repeated often. " * 400)[:N],
+            rng.integers(0, 256, size=N, dtype=np.uint8).tobytes(),
+            rng.integers(97, 103, size=N, dtype=np.uint8).tobytes(),
+        ]
+        bufs, lens = make_chunks(payloads)
+        _, t_dyn = td.compress_chunks_dynamic(
+            jnp.asarray(bufs), jnp.asarray(lens), jnp.ones(len(lens), bool)
+        )
+        _, t_sta = tp.compress_chunks_static(
+            jnp.asarray(bufs), jnp.asarray(lens), jnp.ones(len(lens), bool)
+        )
+        # identical parse; dynamic picks the cheaper block type per chunk,
+        # so it can never lose by more than the 2-byte rounding slack
+        assert (np.asarray(t_dyn) <= np.asarray(t_sta) + 16).all()
+
+    def test_text_ratio_improves_on_static(self, dyn, rng):
+        td, tp, jnp = dyn
+        words = (b"alpha bravo charlie delta echo foxtrot golf hotel india "
+                 b"juliet kilo lima mike november oscar papa").split()
+        text = b" ".join(words[i] for i in rng.integers(0, len(words), 2000))[:N]
+        bufs, lens = make_chunks([text])
+        _, t_dyn = td.compress_chunks_dynamic(
+            jnp.asarray(bufs), jnp.asarray(lens), jnp.ones(1, bool)
+        )
+        _, t_sta = tp.compress_chunks_static(
+            jnp.asarray(bufs), jnp.asarray(lens), jnp.ones(1, bool)
+        )
+        assert int(np.asarray(t_dyn)[0]) < int(np.asarray(t_sta)[0])
+
+    def test_fuzz_roundtrip(self, dyn, rng):
+        td, tp, jnp = dyn
+        payloads = []
+        for trial in range(12):
+            ln = int(rng.integers(0, N))
+            kind = trial % 3
+            if kind == 0:
+                data = rng.integers(0, 256, ln, np.uint8).tobytes()
+            elif kind == 1:
+                data = (b"abcdefgh" * 4096)[:ln]
+            else:
+                data = (rng.integers(0, 6, max(ln // 5, 1), np.uint8).tobytes() * 6)[:ln]
+            payloads.append(data)
+        bufs, lens = make_chunks(payloads)
+        words, totals = td.compress_chunks_dynamic(
+            jnp.asarray(bufs), jnp.asarray(lens),
+            jnp.asarray([i % 2 == 0 for i in range(len(payloads))]),
+        )
+        words, totals = np.asarray(words), np.asarray(totals)
+        for i, p in enumerate(payloads):
+            stream = tp.device_stream_to_bytes(words[i], totals[i])
+            assert zlib.decompressobj(-15).decompress(stream) == p, i
