@@ -64,11 +64,13 @@ def deflate_compress_dp(
     data: bytes,
     mesh=None,
     chunk_size: int = DEFAULT_CHUNK_SIZE,
+    level: int = 1,
 ) -> tuple[bytes, int, int]:
     """Chunk-parallel raw DEFLATE.  Returns (stream, crc32, adler32).
 
-    The checksums of the *uncompressed* data come along for free from the
-    device pass, pre-combined for wrapper trailers.
+    level 1 emits static-code blocks (fastest); levels >= 2 use per-chunk
+    dynamic Huffman codes.  The checksums of the *uncompressed* data come
+    along for free from the device pass, pre-combined for wrapper trailers.
     """
     if mesh is None:
         mesh = mesh_mod.make_chunk_mesh()
@@ -79,7 +81,7 @@ def deflate_compress_dp(
 
     bufs, lengths, bfinal, nchunks = mesh_mod.pad_chunks(data, chunk_size, ndev)
     words, total_bits, crcs, adlers, _ = mesh_mod.compress_chunks_dp(
-        mesh, bufs, lengths, bfinal
+        mesh, bufs, lengths, bfinal, level=level
     )
     words = np.asarray(words)
     total_bits = np.asarray(total_bits)
@@ -105,20 +107,20 @@ def deflate_compress_dp(
 
 
 def gzip_compress_dp(data: bytes, mesh=None, chunk_size: int = DEFAULT_CHUNK_SIZE,
-                     level_hint: int = 1) -> bytes:
-    stream, crc, _ = deflate_compress_dp(data, mesh, chunk_size)
+                     level: int = 1) -> bytes:
+    stream, crc, _ = deflate_compress_dp(data, mesh, chunk_size, level)
     return (
-        gzip_fmt.make_header(level_hint)
+        gzip_fmt.make_header(level)
         + stream
         + gzip_fmt.make_trailer(crc, len(data))
     )
 
 
 def zlib_compress_dp(data: bytes, mesh=None, chunk_size: int = DEFAULT_CHUNK_SIZE,
-                     level_hint: int = 1) -> bytes:
-    stream, _, adler = deflate_compress_dp(data, mesh, chunk_size)
+                     level: int = 1) -> bytes:
+    stream, _, adler = deflate_compress_dp(data, mesh, chunk_size, level)
     return (
-        zlib_fmt.make_header(level_hint)
+        zlib_fmt.make_header(level)
         + stream
         + zlib_fmt.make_trailer(adler)
     )

@@ -38,10 +38,21 @@ def make_chunk_mesh(devices=None, axis_name: str = "chunks") -> Mesh:
     return Mesh(np.array(devices), (axis_name,))
 
 
-def _per_shard_compress(bufs, lengths, bfinal):
+def _chunk_compressor(level: int):
+    """Device chunk compressor for a level: 1 -> static-code greedy (fastest),
+    >= 2 -> per-chunk dynamic Huffman (the reference uses dynamic codes at
+    every level; our static mode trades ~10 ratio points for ~1.5x speed)."""
+    if level <= 1:
+        return compress_chunk_static
+    from ..compress.tpu_dynamic import compress_chunk_dynamic
+
+    return compress_chunk_dynamic
+
+
+def _per_shard_compress(bufs, lengths, bfinal, *, compress_fn):
     """Runs on each device: compress local chunks + local checksums, then
     all-gather the compressed sizes so every shard knows the global layout."""
-    words, total_bits = jax.vmap(compress_chunk_static)(bufs, lengths, bfinal)
+    words, total_bits = jax.vmap(compress_fn)(bufs, lengths, bfinal)
     crcs = jax.vmap(crc32_fixed)(
         bufs, lengths, jnp.zeros(bufs.shape[0], jnp.uint32)
     )
@@ -53,16 +64,18 @@ def _per_shard_compress(bufs, lengths, bfinal):
 
 
 def compress_chunks_dp(mesh: Mesh, bufs: np.ndarray, lengths: np.ndarray,
-                       bfinal: np.ndarray):
+                       bfinal: np.ndarray, level: int = 1):
     """Compress [B, N] chunks data-parallel over the mesh.
 
     B must be a multiple of the mesh size (pad with empty chunks).  Returns
     (words [B, W], total_bits [B], crcs [B], adlers [B], all_bits [B]).
     """
+    import functools
+
     axis = mesh.axis_names[0]
     spec_in = P(axis)
     fn = shard_map(
-        _per_shard_compress,
+        functools.partial(_per_shard_compress, compress_fn=_chunk_compressor(level)),
         mesh=mesh,
         in_specs=(P(axis, None), spec_in, spec_in),
         out_specs=(P(axis, None), spec_in, spec_in, spec_in, P(None)),
