@@ -1,41 +1,44 @@
 """Dynamic-Huffman DEFLATE blocks on the TPU — fully device-resident.
 
 This extends the static-code pipeline (tpu_pipeline.py) with per-chunk
-dynamic litlen codes, the TPU re-derivation of the reference's
-``deflate_make_huffman_code`` + ``deflate_flush_block``
-(lib/deflate_compress.c:1318-1396, 1706-2038).  Design constraints are the
-measured op costs of the chip: no per-position table gathers, no large
-scatters, no global sorts.
+dynamic litlen AND distance codes, the TPU re-derivation of the
+reference's ``deflate_make_huffman_code`` + ``deflate_flush_block``
+(lib/deflate_compress.c:1318-1396, 1706-2038).  Design constraints are
+the measured op costs of the chip: no per-position table gathers, no
+large scatters, no global sorts.
 
-- **Histogram + translation share ONE batched segment sort** of
-  ``sym<<15|pos`` keys.  Symbol counts fall out of 287 searchsorted
-  boundaries per segment; per-position code lookup scatters ~287 per-row
-  table *deltas* at those same boundaries and prefix-sums them back
-  (exact triangular f32 matmuls: partial sums telescope to a table entry,
-  < 2^19).  A payload sort keyed on position un-permutes.  Translating a
-  million positions therefore costs two cheap batched sorts, not 1M
-  gathers.
-- **Code lengths** — a Kraft-budget scan over the 286 symbols in
-  frequency order (budget 2^11 units, length cap 11), then bounded
-  double/halve passes that spend the budget *exactly*: DEFLATE decoders
-  require a complete litlen code (build_decode_table's completeness
-  rules, lib/deflate_decompress.c:803-853).  The length-11 cap bounds
-  every emission slot so 32-position groups stay within 12 words.
+- **One sort, one combined alphabet.**  Each position carries one symbol
+  key for ONE batched segment sort of ``sym<<15|pos``: committed literals
+  carry the byte, a match's first position carries the length symbol
+  (257..285), and the match's SECOND position — always inside the span —
+  carries ``286 + dist_slot``.  Symbol histograms for both code tables
+  fall out of 317 searchsorted boundaries per segment, and per-position
+  code translation scatters ~317 per-row table *deltas* at those same
+  boundaries and prefix-sums them back (exact triangular f32 matmuls:
+  partial sums telescope to a table entry < 2^19).  A payload sort keyed
+  on position un-permutes.  Translating a million positions costs two
+  cheap batched sorts, not a million gathers.
+- **Code lengths** — a Kraft-budget scan over symbols in frequency order
+  (budget 2^11 units, length cap 11), then bounded double/halve passes
+  that spend the budget *exactly*: DEFLATE decoders require complete
+  codes (build_decode_table's completeness rules,
+  lib/deflate_decompress.c:803-853).  Run per alphabet (286 litlen, 30
+  dist).  The length-11 cap bounds every emission slot to <= 24 bits so
+  32-position groups stay within 12 words.
 - **Canonical code assignment** — RFC 1951 §3.2.2 exactly, vectorized as
-  an all-pairs rank over [286].
-- **Offset + precode tables are fixed complete codes** (offsets: slots
-  0-1 at 4 bits, 2-29 at 5 bits; precode: lengths 0-15 at 4 bits), so
-  their translations stay pure arithmetic and the dynamic header is a
-  constant 1338 bits.  The small ratio cost (<1%) buys gather-free
-  emission; host levels keep exact reference parity.
+  an all-pairs rank.
+- **Precode is a fixed complete code** (lengths 0..15 all 4 bits), so
+  the header layout is a constant 1338 bits and header emission is
+  arithmetic.  Costs <25 bytes/chunk vs RLE'd headers — noise at 1 MiB
+  chunks.
 - **Per-chunk block-type choice** — each chunk emits dynamic or static,
   whichever costs fewer total bits (the reference's block-type compare,
-  lib/deflate_compress.c:1748-1814; the stored fallback stays in the host
-  API layer via the compress-bound contract).
+  lib/deflate_compress.c:1748-1814; the stored fallback stays in the
+  host API layer via the compress-bound contract).
 - **Match items split across two slots**: a match at position i emits
-  (litlen code + length extra, <= 16 bits) in slot i and (offset code +
-  offset extra, <= 18 bits) in slot i+1 — always free, since matches span
-  >= 3 positions.  Keeps every slot <= 32 bits despite 11-bit codes.
+  (litlen code + length extra, <= 16 bits) in slot i and (dist code +
+  offset extra, <= 24 bits) in slot i+1 — always free, since matches
+  span >= 3 positions.  Keeps every slot <= 32 bits with 11-bit codes.
 """
 
 from __future__ import annotations
@@ -54,11 +57,14 @@ from .tpu_pipeline import (
     _segment_sizes,
 )
 
-NSYM = 286          # litlen symbols declared (HLIT=29)
-DONT_CARE = 286     # sorts after every real symbol
-MAX_CODE_LEN = 11   # keeps emission slots 32-bit; Kraft budget 2^11
+NSYM = 286            # litlen symbols declared (HLIT=29)
+NDIST = 30            # distance symbols declared (HDIST=29)
+NSYM_ALL = NSYM + NDIST
+DONT_CARE = NSYM_ALL  # sorts after every real symbol
+MAX_CODE_LEN = 11     # keeps emission slots 32-bit; Kraft budget 2^11
 KRAFT = 1 << MAX_CODE_LEN
-# worst group: 32 literals * 11 bits = 352 bits -> 11 words + carry
+# worst group: 8 span-4 matches = 8*(16+24) = 320 bits, or 32 literals
+# * 11 = 352 bits -> 11 words + carry
 DYN_CAPW = 12
 
 # ---------------------------------------------------------------------------
@@ -73,8 +79,9 @@ def _rev_bits_np(x: np.ndarray, nbits: np.ndarray) -> np.ndarray:
     return out >> (16 - nbits)
 
 
-def _static_packed_table() -> np.ndarray:
-    """T[sym] = rev_code<<4 | len for the RFC 1951 static litlen code."""
+def _static_packed_tables() -> np.ndarray:
+    """T[sym] = rev_code<<4 | len for the RFC 1951 static litlen code,
+    followed by the 30 static 5-bit distance codes."""
     sym = np.arange(288)
     lens = np.where(sym < 144, 8, np.where(sym < 256, 9, np.where(sym < 280, 7, 8)))
     code = np.where(
@@ -84,66 +91,57 @@ def _static_packed_table() -> np.ndarray:
                  np.where(sym < 280, sym - 256, 0xC0 + sym - 280)),
     )
     rev = _rev_bits_np(code.astype(np.uint32), lens.astype(np.uint32))
-    return ((rev << 4) | lens).astype(np.int32)
+    lit = ((rev << 4) | lens)[:NSYM]
+    dsym = np.arange(NDIST).astype(np.uint32)
+    drev = _rev_bits_np(dsym, np.full(NDIST, 5, np.uint32))
+    dist = (drev << 4) | 5
+    return np.concatenate([lit, dist]).astype(np.int32)
 
 
-_T_STATIC_NP = _static_packed_table()
-_T_STATIC = jnp.asarray(_T_STATIC_NP)       # [288]
-_STATIC_LENS = jnp.asarray(_T_STATIC_NP[:NSYM] & 15)
+_T_STATIC_ALL = jnp.asarray(_static_packed_tables())   # [316]
+_STATIC_LIT_LENS = _T_STATIC_ALL[:NSYM] & 15
 
-# Fixed dynamic header: BFINAL=0 BTYPE=10, HLIT=29, HDIST=29, HCLEN=15;
-# precode = values 0..15 all length 4 (16 * 2^-4 = 1, complete; 16/17/18
-# length 0); dist code = slots 0,1 length 4, slots 2..29 length 5
-# (2/16 + 28/32 = 1, complete).
+# Fixed dynamic header layout: BFINAL=0 BTYPE=10, HLIT=29, HDIST=29,
+# HCLEN=15; precode = values 0..15 all length 4 (complete: 16 * 2^-4 = 1;
+# 16/17/18 unused, length 0).  Every length is emitted as rev4(len).
 _PRECODE_PERM = [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15]
-_DIST_LENS = np.array([4, 4] + [5] * 28, dtype=np.int64)
-HDR_BITS = 17 + 19 * 3 + NSYM * 4 + 30 * 4  # = 1338
-
-
-def _rev4_np(v: int) -> int:
-    return ((v & 1) << 3) | ((v & 2) << 1) | ((v & 4) >> 1) | ((v & 8) >> 3)
+HDR_BITS = 17 + 19 * 3 + NSYM * 4 + NDIST * 4  # = 1338
 
 
 def _header_consts():
-    vals = [0b100, NSYM - 257, 29, 15]
+    vals = [0b100, NSYM - 257, NDIST - 1, 15]
     bits = [3, 5, 5, 4]
     for p in _PRECODE_PERM:
         vals.append(0 if p >= 16 else 4)
         bits.append(3)
-    litlen_off = sum(bits)
-    dist_off = litlen_off + NSYM * 4
-    dvals = [_rev4_np(int(l)) for l in _DIST_LENS]
+    lens_off = sum(bits)
     offs = np.concatenate([[0], np.cumsum(bits)[:-1]]).astype(np.int32)
-    return (
-        np.array(vals, np.uint32), offs, litlen_off, dist_off,
-        np.array(dvals, np.uint32),
-    )
+    return np.array(vals, np.uint32), offs, lens_off
 
 
-(_HDR_VALS, _HDR_OFFS, _LITLEN_OFF, _DIST_OFF, _DIST_LEN_CODES) = _header_consts()
+(_HDR_VALS, _HDR_OFFS, _LENS_OFF) = _header_consts()
 _J_HDR_VALS = jnp.asarray(_HDR_VALS)
 _J_HDR_OFFS = jnp.asarray(_HDR_OFFS)
-_J_DIST_CODES = jnp.asarray(_DIST_LEN_CODES)
 
 
 # ---------------------------------------------------------------------------
-# Device-side canonical Huffman over 286 symbols
+# Device-side canonical Huffman (generic over alphabet size)
 # ---------------------------------------------------------------------------
 def _bsr_i32(x):
     return 31 - jax.lax.clz(jnp.maximum(x.astype(jnp.int32), 1))
 
 
-def _build_litlen_lens(hist: jax.Array):
+def _build_code_lens(hist: jax.Array, nsym: int):
     """Kraft-exact length assignment, lens in [0..MAX_CODE_LEN].
 
-    Returns (lens int32[NSYM], ok bool); `ok` False means the completion
+    Returns (lens int32[nsym], ok bool); `ok` False means the completion
     passes could not spend the budget exactly and the caller must fall
-    back to the static code (never observed in practice, but safe)."""
+    back to the static code (never observed in practice, but safe).
+    Callers must guarantee >= 2 used symbols."""
     total = jnp.maximum(jnp.sum(hist), 1)
     used = hist > 0
 
     # ideal Kraft share rounded to the NEAREST power of two in [1, 2^10]
-    # (geometric midpoint 1.5x: floor alone costs ~5% on flat histograms)
     share = (hist.astype(jnp.uint32) * jnp.uint32(KRAFT)) // total.astype(jnp.uint32)
     e = _bsr_i32(jnp.maximum(share, 1))
     half = jnp.uint32(1) << jnp.maximum(e - 1, 0).astype(jnp.uint32)
@@ -156,7 +154,7 @@ def _build_litlen_lens(hist: jax.Array):
     )
 
     # frequency-descending greedy spend, reserving 1 unit per later symbol
-    order = jnp.argsort(-(hist * 512 + (NSYM - jnp.arange(NSYM))))
+    order = jnp.argsort(-(hist * 512 + (nsym - jnp.arange(nsym))))
     k_sorted = k_des[order]
     used_sorted = used[order]
     remaining_after = (
@@ -175,7 +173,7 @@ def _build_litlen_lens(hist: jax.Array):
     _, k_got = jax.lax.scan(
         step, jnp.int32(KRAFT), (k_sorted, used_sorted, remaining_after)
     )
-    k = jnp.zeros(NSYM, jnp.int32).at[order].set(k_got)
+    k = jnp.zeros(nsym, jnp.int32).at[order].set(k_got)
 
     # spend the remainder exactly: double the largest k <= R, else halve
     # the smallest k > R to raise R; bounded passes, no-ops once R == 0
@@ -187,7 +185,7 @@ def _build_litlen_lens(hist: jax.Array):
         can_hlv = used & (k > r) & (k >= 2)
         hlv_pick = jnp.argmin(jnp.where(can_hlv, k, 1 << 30))
         idx = jnp.where(any_dbl, dbl_pick, hlv_pick)
-        onehot = jnp.arange(NSYM) == idx
+        onehot = jnp.arange(nsym) == idx
         delta = jnp.where(any_dbl, k[idx], -(k[idx] >> 1))
         live = r > 0
         k = jnp.where(live & onehot, k + delta, k)
@@ -202,9 +200,9 @@ def _build_litlen_lens(hist: jax.Array):
     return lens.astype(jnp.int32), (r == 0) & (n_used >= 2)
 
 
-def _canonical_table(lens: jax.Array) -> jax.Array:
+def _canonical_table(lens: jax.Array, nsym: int) -> jax.Array:
     """T[sym] = rev_code<<4 | len (packed), canonical per RFC 1951 §3.2.2."""
-    sym = jnp.arange(NSYM)
+    sym = jnp.arange(nsym)
     l_iota = jnp.arange(MAX_CODE_LEN + 1)
     bl_count = jnp.sum(
         (lens[None, :] == l_iota[:, None]).astype(jnp.int32), axis=1
@@ -226,17 +224,18 @@ def _canonical_table(lens: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# One sort -> histogram + per-position translation
+# One sort -> histograms + per-position translation
 # ---------------------------------------------------------------------------
 def _sort_syms(sym: jax.Array, seg: int):
-    """Segment sort of sym<<15|pos keys.  Returns (sorted keys [m,seg],
-    per-row symbol boundary starts [m, NSYM+1], global hist [NSYM])."""
+    """Segment sort of sym<<15|pos keys (combined 316-symbol alphabet).
+    Returns (sorted keys [m,seg], per-row boundary starts [m, NSYM_ALL+1],
+    global hist [NSYM_ALL])."""
     n = sym.shape[0]
     m = n // seg
     lp = jax.lax.broadcasted_iota(jnp.uint32, (m, seg), 1)
     key = (sym.reshape(m, seg).astype(jnp.uint32) << jnp.uint32(15)) | lp
     (sk,) = jax.lax.sort((key,), num_keys=1, dimension=1)
-    bounds = jnp.arange(NSYM + 1, dtype=jnp.uint32) << jnp.uint32(15)
+    bounds = jnp.arange(NSYM_ALL + 1, dtype=jnp.uint32) << jnp.uint32(15)
     starts = jax.vmap(
         lambda row: jnp.searchsorted(row, bounds, side="left")
     )(sk).astype(jnp.int32)
@@ -248,8 +247,8 @@ def _translate(sk: jax.Array, starts: jax.Array, table: jax.Array, seg: int):
     """Per-position packed code via boundary-delta scatter + row prefix sum
     (exact: partial delta sums telescope to a table entry < 2^19)."""
     m = sk.shape[0]
-    tpad = jnp.concatenate([jnp.zeros(1, jnp.int32), table[:NSYM]])
-    deltas = jnp.broadcast_to((tpad[1:] - tpad[:-1])[None, :], (m, NSYM))
+    tpad = jnp.concatenate([jnp.zeros(1, jnp.int32), table[:NSYM_ALL]])
+    deltas = jnp.broadcast_to((tpad[1:] - tpad[:-1])[None, :], (m, NSYM_ALL))
     s0 = starts[:, :-1]
     in_row = s0 < seg          # a start == seg would wrap: drop (absent tail)
     deltas = jnp.where(in_row, deltas, 0)
@@ -268,72 +267,84 @@ def _translate(sk: jax.Array, starts: jax.Array, table: jax.Array, seg: int):
 # Main entry
 # ---------------------------------------------------------------------------
 def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array):
-    """Compress one chunk into a byte-aligned raw-DEFLATE fragment using a
-    per-chunk dynamic litlen code (static block selected per chunk when
-    cheaper).  Same output contract as compress_chunk_static."""
+    """Compress one chunk into a byte-aligned raw-DEFLATE fragment using
+    per-chunk dynamic litlen + distance codes (static block selected per
+    chunk when cheaper).  Same output contract as compress_chunk_static."""
     n = b.shape[0]
     _, sort_seg, _ = _segment_sizes(n)
-    bp, pos, commit_match, commit_lit, eff, dist = _parse_chunk(b, length)
+    bp, pos, commit_match, commit_lit, eff, dist = _parse_chunk(
+        b, length, lazy=True
+    )
 
     lslot, lbase, lextra = _length_slot(jnp.maximum(eff, 3))
+    oslot, obase, oextra = _offset_slot(jnp.maximum(dist, 1))
+
+    # combined alphabet: literal byte | 257+len_slot | 286+dist_slot (at the
+    # match's second position, which is always inside the span)
+    prev_match = jnp.concatenate([jnp.zeros(1, bool), commit_match[:-1]])
+    oslot_b = jnp.concatenate([jnp.zeros(1, jnp.int32), oslot[:-1]])
     sym = jnp.where(
         commit_match,
         257 + lslot,
-        jnp.where(commit_lit, bp.astype(jnp.int32), DONT_CARE),
+        jnp.where(
+            prev_match,
+            NSYM + oslot_b,
+            jnp.where(commit_lit, bp.astype(jnp.int32), DONT_CARE),
+        ),
     )
 
-    # ---- dynamic litlen code ------------------------------------------------
+    # ---- dynamic code tables -------------------------------------------------
     sk, starts, hist = _sort_syms(sym, sort_seg)
-    hist = hist.at[256].add(1)                         # EOB
-    hist = hist.at[0].add(jnp.where(hist[0] == 0, 1, 0))  # >= 2 used symbols
-    lens, ok = _build_litlen_lens(hist)
-    t_dyn = _canonical_table(lens)
+    hist_lit = hist[:NSYM]
+    hist_lit = hist_lit.at[256].add(1)                       # EOB
+    hist_lit = hist_lit.at[0].add(jnp.where(hist_lit[0] == 0, 1, 0))
+    hist_dist = hist[NSYM:]
+    hist_dist = hist_dist.at[0].add(jnp.where(hist_dist[0] == 0, 1, 0))
+    hist_dist = hist_dist.at[1].add(jnp.where(hist_dist[1] == 0, 1, 0))
 
-    # block-type choice on symbol-level cost (extras are identical)
-    dyn_cost = jnp.sum(hist * lens) + HDR_BITS
-    static_cost = jnp.sum(hist * _STATIC_LENS) + 3
-    use_dyn = ok & (dyn_cost < static_cost)
+    lit_lens, ok_l = _build_code_lens(hist_lit, NSYM)
+    dist_lens, ok_d = _build_code_lens(hist_dist, NDIST)
+    t_lit = _canonical_table(lit_lens, NSYM)
+    t_dist = _canonical_table(dist_lens, NDIST)
 
-    table = jnp.where(use_dyn, t_dyn, _T_STATIC[:NSYM])
+    # block-type choice on symbol-level cost (extra bits are identical)
+    dyn_cost = (
+        jnp.sum(hist_lit * lit_lens) + jnp.sum(hist_dist * dist_lens) + HDR_BITS
+    )
+    static_cost = (
+        jnp.sum(hist_lit * _STATIC_LIT_LENS) + 5 * jnp.sum(hist_dist) + 3
+    )
+    use_dyn = ok_l & ok_d & (dyn_cost < static_cost)
+
+    table = jnp.where(
+        use_dyn, jnp.concatenate([t_lit, t_dist]), _T_STATIC_ALL
+    )
     code_at = _translate(sk, starts, table, sort_seg)
 
-    # ---- emission columns ----------------------------------------------------
+    # ---- emission columns ------------------------------------------------------
     clen = (code_at & 15).astype(jnp.int32)
     ccode = (code_at >> 4).astype(jnp.uint32)
 
+    # slot A (match start or literal): litlen code + length extra
     lx = jnp.where(commit_match, eff - lbase, 0).astype(jnp.uint32)
-    val_a = jnp.where(
-        commit_match | commit_lit, ccode | (lx << clen.astype(jnp.uint32)), 0
-    )
+    val_a = ccode | (lx << clen.astype(jnp.uint32))
     nb_a = jnp.where(
         commit_match, clen + lextra, jnp.where(commit_lit, clen, 0)
     ).astype(jnp.int32)
 
-    # offset part in the NEXT slot (matches span >= 3, so it is free);
-    # the offset code itself switches with the block type
-    oslot, obase, oextra = _offset_slot(jnp.maximum(dist, 1))
-    dyn_olen = jnp.where(oslot < 2, 4, 5)
-    dyn_oc = jnp.where(oslot < 2, oslot, oslot + 2).astype(jnp.uint32)
-    olen = jnp.where(use_dyn, dyn_olen, 5).astype(jnp.int32)
-    oc_raw = jnp.where(use_dyn, dyn_oc, oslot.astype(jnp.uint32))
-    ocode = _rev16(oc_raw) >> (jnp.uint32(16) - olen.astype(jnp.uint32))
-    ox = (dist - obase).astype(jnp.uint32)
-    off_val = ocode | (ox << olen.astype(jnp.uint32))
-    off_bits = olen + oextra
-
-    prev_match = jnp.concatenate([jnp.zeros(1, bool), commit_match[:-1]])
-    val = jnp.where(
-        prev_match,
-        jnp.concatenate([jnp.zeros(1, jnp.uint32), off_val[:-1]]),
-        val_a,
+    # slot B (position after a match start): dist code + offset extra;
+    # code_at already holds the translated dist code at these positions
+    ox_b = jnp.concatenate(
+        [jnp.zeros(1, jnp.uint32), (dist - obase).astype(jnp.uint32)[:-1]]
     )
-    nb = jnp.where(
-        prev_match,
-        jnp.concatenate([jnp.zeros(1, jnp.int32), off_bits[:-1]]),
-        nb_a,
-    )
+    oex_b = jnp.concatenate([jnp.zeros(1, jnp.int32), oextra[:-1]])
+    val_b = ccode | (ox_b << clen.astype(jnp.uint32))
+    nb_b = clen + oex_b
 
-    # ---- layout + pack --------------------------------------------------------
+    val = jnp.where(prev_match, val_b, jnp.where(commit_match | commit_lit, val_a, 0))
+    nb = jnp.where(prev_match, nb_b, nb_a)
+
+    # ---- layout + pack ----------------------------------------------------------
     hdr_bits_n = jnp.where(use_dyn, HDR_BITS, 3)
     offs, body_bits = _exclusive_bit_offsets(nb)
     offs = offs + hdr_bits_n
@@ -342,14 +353,11 @@ def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array):
     words = _group_pack(val, nb, offs, nwords, capw=DYN_CAPW)
 
     # header words: dynamic (constant layout, 1338 bits) or static (3 bits)
-    lit_codes = _rev16(lens.astype(jnp.uint32)) >> jnp.uint32(12)
-    hvals = jnp.concatenate([_J_HDR_VALS, lit_codes, _J_DIST_CODES])
+    all_lens = jnp.concatenate([lit_lens, dist_lens]).astype(jnp.uint32)
+    len_codes = _rev16(all_lens) >> jnp.uint32(12)          # rev4(len)
+    hvals = jnp.concatenate([_J_HDR_VALS, len_codes])
     hoffs = jnp.concatenate(
-        [
-            _J_HDR_OFFS,
-            _LITLEN_OFF + 4 * jnp.arange(NSYM, dtype=jnp.int32),
-            _DIST_OFF + 4 * jnp.arange(30, dtype=jnp.int32),
-        ]
+        [_J_HDR_OFFS, _LENS_OFF + 4 * jnp.arange(NSYM_ALL, dtype=jnp.int32)]
     )
     hsb = (hoffs & 31).astype(jnp.uint32)
     hw = hoffs >> 5
@@ -362,7 +370,7 @@ def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array):
     static_hdr = jnp.zeros(44, jnp.uint32).at[0].set(jnp.uint32(0b010))
     words = words.at[:44].add(jnp.where(use_dyn, hdr_words, static_hdr))
 
-    # ---- tail: EOB, byte-align, sync-flush stored marker ----------------------
+    # ---- tail: EOB, byte-align, sync-flush stored marker -------------------------
     tbl_eob = table[256]
     eob_code = (tbl_eob >> 4).astype(jnp.uint32)
     eob_len = (tbl_eob & 15).astype(jnp.int32)

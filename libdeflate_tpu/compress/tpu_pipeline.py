@@ -165,36 +165,59 @@ def _segment_sizes(n: int) -> tuple[int, int, int]:
     return np_, np_, np_
 
 
-def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array, seg: int):
-    """Nearest previous same-hash candidate per position via ONE batched
-    segment sort carrying the position's own 8 bytes as payloads; LCP<=8
-    computed by neighbor compares in sorted order; a second payload sort
-    keyed on local position un-permutes.  Returns (mlen<=8, dist)."""
+def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
+                      w8: jax.Array, w12: jax.Array, seg: int):
+    """Nearest (and second-nearest) previous same-hash candidates per
+    position via ONE batched segment sort carrying the position's own 16
+    bytes as payloads; LCP<=16 computed by neighbor compares in sorted
+    order; a second payload sort keyed on local position un-permutes.
+    Plays the role of the 2-entry-bucket probe + lz_extend of
+    ht_matchfinder (lib/ht_matchfinder.h:77-195).  Returns (mlen<=16,
+    dist)."""
     n = h.shape[0]
     m = n // seg
     lp = jax.lax.broadcasted_iota(jnp.uint32, (m, seg), 1)
     key = (h.reshape(m, seg).astype(jnp.uint32) << jnp.uint32(15)) | lp
-    sk, sw, sw4 = jax.lax.sort(
-        (key, w.reshape(m, seg), w4.reshape(m, seg)), num_keys=1, dimension=1
+    sk, sw, sw4, sw8, sw12 = jax.lax.sort(
+        (key, w.reshape(m, seg), w4.reshape(m, seg), w8.reshape(m, seg),
+         w12.reshape(m, seg)),
+        num_keys=1, dimension=1,
     )
     shash = sk >> jnp.uint32(15)
     slp = sk & jnp.uint32(32767)
-    phash = jnp.roll(shash, 1, axis=1)
-    pw = jnp.roll(sw, 1, axis=1)
-    pw4 = jnp.roll(sw4, 1, axis=1)
-    plp = jnp.roll(slp, 1, axis=1)
     col = jax.lax.broadcasted_iota(jnp.int32, (m, seg), 1)
-    same = (shash == phash) & (shash != jnp.uint32(1 << HASH_ORDER)) & (col > 0)
-    eq4 = same & (sw == pw)
-    eq8 = eq4 & (sw4 == pw4)
-    mlen = jnp.where(eq8, jnp.uint32(8), jnp.where(eq4, jnp.uint32(4), 0))
-    dist = jnp.where(eq4, slp - plp, jnp.uint32(0))
+
+    def probe(d):
+        same = (
+            (shash == jnp.roll(shash, d, axis=1))
+            & (shash != jnp.uint32(1 << HASH_ORDER))
+            & (col >= d)
+        )
+        eq4 = same & (sw == jnp.roll(sw, d, axis=1))
+        eq8 = eq4 & (sw4 == jnp.roll(sw4, d, axis=1))
+        eq12 = eq8 & (sw8 == jnp.roll(sw8, d, axis=1))
+        eq16 = eq12 & (sw12 == jnp.roll(sw12, d, axis=1))
+        mlen = (
+            eq4.astype(jnp.uint32) * 4
+            + eq8.astype(jnp.uint32) * 4
+            + eq12.astype(jnp.uint32) * 4
+            + eq16.astype(jnp.uint32) * 4
+        )
+        dist = jnp.where(eq4, slp - jnp.roll(slp, d, axis=1), jnp.uint32(0))
+        return mlen, dist
+
+    mlen1, dist1 = probe(1)
+    mlen2, dist2 = probe(2)
+    better2 = mlen2 > mlen1          # ties keep the nearer candidate
+    mlen = jnp.where(better2, mlen2, mlen1)
+    dist = jnp.where(better2, dist2, dist1)
+
     payload = (mlen << jnp.uint32(16)) | dist
     _, pay = jax.lax.sort((slp, payload), num_keys=1, dimension=1)
     pay = pay.reshape(n)
-    mlen8 = (pay >> jnp.uint32(16)).astype(jnp.int32)
-    dist8 = (pay & jnp.uint32(0xFFFF)).astype(jnp.int32)
-    return _chain_extend(mlen8, dist8)
+    mlen16 = (pay >> jnp.uint32(16)).astype(jnp.int32)
+    dist16 = (pay & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    return _chain_extend(mlen16, dist16)
 
 
 def _chain_extend(mlen: jax.Array, dist: jax.Array):
@@ -239,17 +262,29 @@ def _rle_matchfind(b: jax.Array, live: jax.Array):
     return best_len, best_d
 
 
-def _greedy_commit(span: jax.Array, is_match: jax.Array, seg: int):
+def _greedy_commit(span: jax.Array, is_match: jax.Array, seg: int,
+                   lazy: bool = False):
     """Greedy parse as independent `seg`-position segments: a lax.scan FSM
     over the segment, vectorized across segments; matches are truncated at
     segment boundaries (a truncation below 3 bytes falls back to a
     literal).  Exactly: i=seg_start; while: commit[i]; i += eff[i].
+
+    With ``lazy``, a match is deferred to a literal when the next position
+    holds a strictly longer match (the reference's 1-position lookahead,
+    lib/deflate_compress.c:2604-2808, with the simple length test).
     Returns (committed mask, eff span) per position."""
     n = span.shape[0]
     m = n // seg
     span_t = span.reshape(m, seg).T          # [seg, m]
     match_t = is_match.reshape(m, seg).T
     remaining = jnp.arange(seg, 0, -1, dtype=jnp.int32)  # seg - t
+
+    if lazy:
+        span_n = jnp.concatenate([span[1:], jnp.ones(1, jnp.int32)])
+        match_n = jnp.concatenate([is_match[1:], jnp.zeros(1, bool)])
+        defer = is_match & match_n & (span_n > span)
+        is_match = is_match & ~defer
+        match_t = is_match.reshape(m, seg).T
 
     def step(e, xs):
         sp, im, rem = xs
@@ -355,18 +390,20 @@ def _group_pack(values: jax.Array, nbits: jax.Array, offs: jax.Array,
     return words
 
 
-def _parse_chunk(b: jax.Array, length: jax.Array):
+def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False):
     """Shared greedy LZ parse: matchfind (sorted + RLE paths), combine,
-    segment-FSM commit.  Returns (bp, pos, commit_match, commit_lit, eff,
-    dist) over the padded position array."""
+    segment-FSM commit (optionally lazy).  Returns (bp, pos, commit_match,
+    commit_lit, eff, dist) over the padded position array."""
     n = b.shape[0]
     n_pad, sort_seg, fsm_seg = _segment_sizes(n)
     bp = jnp.pad(b, (0, n_pad - n))
     pos = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0]
     live = pos < length
 
-    words_u32 = _le32_words(bp, extra_pad=8)
+    words_u32 = _le32_words(bp, extra_pad=16)
     w4 = jnp.concatenate([words_u32[4:], jnp.zeros(4, jnp.uint32)])
+    w8 = jnp.concatenate([words_u32[8:], jnp.zeros(8, jnp.uint32)])
+    w12 = jnp.concatenate([words_u32[12:], jnp.zeros(12, jnp.uint32)])
 
     h = ((words_u32 * jnp.uint32(MULT)) >> jnp.uint32(32 - HASH_ORDER)).astype(
         jnp.uint32
@@ -374,7 +411,7 @@ def _parse_chunk(b: jax.Array, length: jax.Array):
     # positions without 4 valid bytes go to a junk bucket no real hash hits
     h = jnp.where(pos + MIN_MATCH <= length, h, jnp.uint32(1 << HASH_ORDER))
 
-    mlen_s, dist_s = _sorted_matchfind(h, words_u32, w4, sort_seg)
+    mlen_s, dist_s = _sorted_matchfind(h, words_u32, w4, w8, w12, sort_seg)
     mlen_r, dist_r = _rle_matchfind(bp, live)
 
     cap = jnp.clip(length - pos, 0, MAX_LEN)
@@ -386,7 +423,7 @@ def _parse_chunk(b: jax.Array, length: jax.Array):
     span = jnp.where(use_r, mlen_r, jnp.where(use_s, mlen_s, 1))
     dist = jnp.where(use_r, dist_r, dist_s)
 
-    committed, eff = _greedy_commit(span, is_match, fsm_seg)
+    committed, eff = _greedy_commit(span, is_match, fsm_seg, lazy=lazy)
     commit_match = committed & (eff >= 3) & live
     commit_lit = committed & (eff < 3) & live
     return bp, pos, commit_match, commit_lit, eff, dist
