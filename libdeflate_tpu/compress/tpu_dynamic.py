@@ -266,14 +266,17 @@ def _translate(sk: jax.Array, starts: jax.Array, table: jax.Array, seg: int):
 # ---------------------------------------------------------------------------
 # Main entry
 # ---------------------------------------------------------------------------
-def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array):
+def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array,
+                           two_pass: bool = False):
     """Compress one chunk into a byte-aligned raw-DEFLATE fragment using
     per-chunk dynamic litlen + distance codes (static block selected per
-    chunk when cheaper).  Same output contract as compress_chunk_static."""
+    chunk when cheaper).  ``two_pass`` doubles matchfinder window coverage
+    for ~17% more compress time (the levels >= 6 mode).  Same output
+    contract as compress_chunk_static."""
     n = b.shape[0]
     _, sort_seg, _ = _segment_sizes(n)
     bp, pos, commit_match, commit_lit, eff, dist = _parse_chunk(
-        b, length, lazy=True
+        b, length, lazy=True, two_pass=two_pass
     )
 
     lslot, lbase, lextra = _length_slot(jnp.maximum(eff, 3))
@@ -396,8 +399,19 @@ def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array):
     return words, total_bits
 
 
+def compress_chunk_dynamic2(b, length, bfinal):
+    """Two-pass-window dynamic compressor (the levels >= 6 quality mode)."""
+    return compress_chunk_dynamic(b, length, bfinal, two_pass=True)
+
+
 @jax.jit
 def compress_chunks_dynamic(bufs: jax.Array, lengths: jax.Array, bfinal: jax.Array):
     """vmapped dynamic-code chunk compressor: uint8[B, N], int32[B], bool[B]
     -> (uint32[B, W], int32[B])."""
     return jax.vmap(compress_chunk_dynamic)(bufs, lengths, bfinal)
+
+
+@jax.jit
+def compress_chunks_dynamic2(bufs: jax.Array, lengths: jax.Array, bfinal: jax.Array):
+    """vmapped two-pass dynamic chunk compressor (levels >= 6)."""
+    return jax.vmap(compress_chunk_dynamic2)(bufs, lengths, bfinal)

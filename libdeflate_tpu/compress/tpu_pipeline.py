@@ -390,9 +390,13 @@ def _group_pack(values: jax.Array, nbits: jax.Array, offs: jax.Array,
     return words
 
 
-def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False):
+def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
+                 two_pass: bool = False):
     """Shared greedy LZ parse: matchfind (sorted + RLE paths), combine,
-    segment-FSM commit (optionally lazy).  Returns (bp, pos, commit_match,
+    segment-FSM commit (optionally lazy).  With ``two_pass``, a second
+    matchfind over half-segment-shifted windows guarantees every position
+    at least half a window of history (pass 1 alone gives positions near a
+    segment start almost none).  Returns (bp, pos, commit_match,
     commit_lit, eff, dist) over the padded position array."""
     n = b.shape[0]
     n_pad, sort_seg, fsm_seg = _segment_sizes(n)
@@ -412,6 +416,23 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False):
     h = jnp.where(pos + MIN_MATCH <= length, h, jnp.uint32(1 << HASH_ORDER))
 
     mlen_s, dist_s = _sorted_matchfind(h, words_u32, w4, w8, w12, sort_seg)
+    if two_pass and sort_seg >= 2 * FSM_SEG:
+        half = sort_seg // 2
+        junk = jnp.full(half, 1 << HASH_ORDER, jnp.uint32)
+        zpad = jnp.zeros(half, jnp.uint32)
+        mlen_b, dist_b = _sorted_matchfind(
+            jnp.concatenate([h[half:], junk]),
+            jnp.concatenate([words_u32[half:], zpad]),
+            jnp.concatenate([w4[half:], zpad]),
+            jnp.concatenate([w8[half:], zpad]),
+            jnp.concatenate([w12[half:], zpad]),
+            sort_seg,
+        )
+        mlen_b = jnp.concatenate([jnp.zeros(half, jnp.int32), mlen_b[:-half]])
+        dist_b = jnp.concatenate([jnp.zeros(half, jnp.int32), dist_b[:-half]])
+        better_b = mlen_b > mlen_s
+        mlen_s = jnp.where(better_b, mlen_b, mlen_s)
+        dist_s = jnp.where(better_b, dist_b, dist_s)
     mlen_r, dist_r = _rle_matchfind(bp, live)
 
     cap = jnp.clip(length - pos, 0, MAX_LEN)

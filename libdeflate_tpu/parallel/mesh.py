@@ -39,14 +39,18 @@ def make_chunk_mesh(devices=None, axis_name: str = "chunks") -> Mesh:
 
 
 def _chunk_compressor(level: int):
-    """Device chunk compressor for a level: 1 -> static-code greedy (fastest),
-    >= 2 -> per-chunk dynamic Huffman (the reference uses dynamic codes at
-    every level; our static mode trades ~10 ratio points for ~1.5x speed)."""
+    """Device chunk compressor ladder (the analogue of the reference's
+    per-level impl table, lib/deflate_compress.c:3927-4013):
+    1 -> static-code greedy (fastest); 2-5 -> dynamic Huffman;
+    >= 6 -> dynamic Huffman + two-pass matchfinder window."""
     if level <= 1:
         return compress_chunk_static
-    from ..compress.tpu_dynamic import compress_chunk_dynamic
+    from ..compress.tpu_dynamic import (
+        compress_chunk_dynamic,
+        compress_chunk_dynamic2,
+    )
 
-    return compress_chunk_dynamic
+    return compress_chunk_dynamic2 if level >= 6 else compress_chunk_dynamic
 
 
 def _per_shard_compress(bufs, lengths, bfinal, *, compress_fn):
