@@ -951,6 +951,13 @@ struct BitReader {
         }
         return true;
     }
+    // branchless whole-word refill; caller guarantees pos + 8 <= n
+    inline void refill_fast() {
+        u64 w; memcpy(&w, in + pos, 8);
+        buf |= w << cnt;
+        pos += (63 - cnt) >> 3;
+        cnt |= 56;
+    }
     inline u32 peek(unsigned nb) const { return (u32)(buf & ((1ull << nb) - 1)); }
     inline void consume(unsigned nb) { buf >>= nb; cnt -= nb; }
     inline u32 pop(unsigned nb) { u32 v = peek(nb); consume(nb); return v; }
@@ -1033,7 +1040,64 @@ extern "C" int ld_deflate_decompress(const u8* in, size_t n, u8* out,
             if (!build_table(lens + num_ll, num_of, 8, T.off, 402, 15, 2)) return 1;
         } else return 1;
 
-        // symbol loop
+        // fastloop: bounds hoisted to the loop condition (16 input bytes of
+        // slack = up to two branchless refills per iteration; 272 output
+        // bytes = max match + 8-byte overcopy margin).  Each refill feeds a
+        // burst of up to 3 literals (15-bit worst-case codes), then one
+        // match if the burst ended on a non-literal.
+        bool eob = false;
+        while (br.pos + 16 <= n && op + 272 <= out_avail) {
+            br.refill_fast();
+            u32 e;
+            bool starved = false;
+            for (;;) {
+                e = T.litlen[br.peek(11)];
+                if ((e >> 30) == KIND_SUB)
+                    e = T.litlen[((e >> 16) & 0x3FFF) + (br.peek(11 + ((e >> 8) & 0xFF)) >> 11)];
+                br.consume(e & 0xFF);
+                if ((e >> 30) != KIND_LITERAL) break;
+                out[op++] = (u8)((e >> 16) & 0x3FFF);
+                if (br.cnt < 15) { starved = true; break; }
+            }
+            if (starved) continue;
+            u32 kind = e >> 30;
+            u32 payload = (e >> 16) & 0x3FFF;
+            if (kind == KIND_EOB) {
+                if (payload) return 1;
+                eob = true;
+                break;
+            }
+            // one extra refill keeps the whole match tail (<= 33 bits)
+            // in-buffer; safe: at most the second refill this iteration
+            if (br.cnt < 33) br.refill_fast();
+            u32 len = payload + br.pop((e >> 8) & 0xFF);
+            u32 oe = T.off[br.peek(8)];
+            if ((oe >> 30) == KIND_SUB)
+                oe = T.off[((oe >> 16) & 0x3FFF) + (br.peek(8 + ((oe >> 8) & 0xFF)) >> 8)];
+            br.consume(oe & 0xFF);
+            if ((oe >> 30) != KIND_MATCH) return 1;
+            u32 off = OFF_BASE[(oe >> 16) & 0x3FFF] + br.pop((oe >> 8) & 0xFF);
+            if (off > op) return 1;
+            const u8* src = out + op - off;
+            u8* dst = out + op;
+            op += len;
+            if (off >= 8) {
+                u8* end = dst + len;
+                do { memcpy(dst, src, 8); dst += 8; src += 8; } while (dst < end);
+            } else if (off == 1) {
+                memset(dst, *src, len);
+            } else {
+                u32 left = len, avail = off;
+                while (left) {
+                    u32 c = std::min(left, avail);
+                    memcpy(dst, src, c);
+                    dst += c; left -= c; avail += c;
+                }
+            }
+        }
+        if (eob) continue;  // next block (or exit on is_final)
+
+        // careful symbol loop (near input/output ends)
         for (;;) {
             if (!br.refill()) return 1;
             u32 e = T.litlen[br.peek(11)];
