@@ -5,11 +5,15 @@ Protocol parity with the reference's benchmark program
 round-trip verification, throughput in bytes/s of input.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N,
+   "ratio": R, "baseline_ratio": R}
 
-vs_baseline compares against libdeflate level-1 single-core compress
-throughput on the same corpus/host if the reference benchmark binary is
-available (built under /tmp/refbuild), else against a recorded constant.
+The benchmarked path is the TPU dynamic-Huffman two-pass compressor
+(the level-6 quality tier); vs_baseline compares against libdeflate -6
+single-core compress throughput measured live on the same corpus/host
+(reference built on demand under /tmp/refbuild, else a recorded
+constant).  ratio/baseline_ratio record compressed fraction of input so
+the speed comparison carries its quality context.
 """
 
 from __future__ import annotations
@@ -25,8 +29,10 @@ import numpy as np
 CHUNK = 1 << 20  # 1 MiB chunks (the reference benchmark's default)
 BATCH = 8        # chunks per device dispatch (tuned: best MB/s on v5e)
 CORPUS_MB = 16
+LEVEL = 6        # quality tier compared: TPU dynamic-2pass vs libdeflate -6
 REF_BENCH = "/tmp/refbuild/programs/benchmark"
-FALLBACK_BASELINE_GBPS = 0.186  # libdeflate -1 compress, measured on this host
+FALLBACK_BASELINE_GBPS = 0.069  # libdeflate -6 compress, measured on this host
+FALLBACK_BASELINE_RATIO = 0.341
 
 
 def make_corpus(total_mb: int = CORPUS_MB) -> bytes:
@@ -79,24 +85,27 @@ def build_reference() -> None:
         pass
 
 
-def measure_baseline(corpus_path: str) -> float | None:
-    """libdeflate level-1 compress GB/s via the reference benchmark binary."""
+def measure_baseline(corpus_path: str, level: int = LEVEL):
+    """libdeflate compress GB/s + ratio at `level` via the reference
+    benchmark binary.  Returns (gbps, ratio) or (None, None)."""
     build_reference()
     if not os.path.exists(REF_BENCH):
-        return None
+        return None, None
     try:
         out = subprocess.run(
-            [REF_BENCH, "-1", "-s", str(CHUNK), corpus_path],
+            [REF_BENCH, f"-{level}", "-s", str(CHUNK), corpus_path],
             capture_output=True, text=True, timeout=600,
         ).stdout
+        gbps = ratio = None
         for line in out.splitlines():
             if "Compression time" in line:
                 # e.g. "Compression time: 123.45 ms (270.00 MB/s)"
-                mbps = float(line.split("(")[1].split(" MB/s")[0])
-                return mbps / 1000.0
+                gbps = float(line.split("(")[1].split(" MB/s")[0]) / 1000.0
+            if "Compressed" in line and "=>" in line:
+                ratio = float(line.split("(")[1].split("%")[0]) / 100.0
+        return gbps, ratio
     except Exception:
-        return None
-    return None
+        return None, None
 
 
 def main() -> None:
@@ -104,10 +113,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     import libdeflate_tpu as ld
-    from libdeflate_tpu.compress.tpu_pipeline import (
-        compress_chunks_static,
-        device_stream_to_bytes,
-    )
+    from libdeflate_tpu.compress.tpu_dynamic import compress_chunks_dynamic2
+    from libdeflate_tpu.compress.tpu_pipeline import device_stream_to_bytes
 
     corpus = make_corpus()
     corpus_path = "/tmp/benchdata_corpus.bin"
@@ -134,13 +141,13 @@ def main() -> None:
 
     # warmup / compile (note: host materialization is the only reliable sync
     # under the axon relay — block_until_ready returns early there)
-    w, t = compress_chunks_static(*batches[0])
+    w, t = compress_chunks_dynamic2(*batches[0])
     _ = np.asarray(t)
 
     t0 = time.perf_counter()
     outs = []
     for b in batches:
-        outs.append(compress_chunks_static(*b))
+        outs.append(compress_chunks_dynamic2(*b))
     for _, t in outs:
         _ = np.asarray(t)
     dt = time.perf_counter() - t0
@@ -158,15 +165,23 @@ def main() -> None:
         assert zlib.decompressobj(-15).decompress(stream) == bufs[k].tobytes()
         comp_total += len(stream)
 
-    baseline = measure_baseline(corpus_path)
-    vs = gbps / baseline if baseline else gbps / FALLBACK_BASELINE_GBPS
+    comp_all = sum(
+        int(np.sum((np.asarray(t) + 7) // 8)) for _, t in outs
+    )
+    our_ratio = comp_all / nbytes
+
+    base_gbps, base_ratio = measure_baseline(corpus_path)
+    if base_gbps is None:
+        base_gbps, base_ratio = FALLBACK_BASELINE_GBPS, FALLBACK_BASELINE_RATIO
     print(
         json.dumps(
             {
-                "metric": "chunked_deflate_L1_compress_GBps_per_chip",
+                "metric": f"chunked_deflate_L{LEVEL}_compress_GBps_per_chip",
                 "value": round(gbps, 4),
                 "unit": "GB/s",
-                "vs_baseline": round(vs, 4),
+                "vs_baseline": round(gbps / base_gbps, 4),
+                "ratio": round(our_ratio, 4),
+                "baseline_ratio": round(base_ratio, 4),
             }
         )
     )
