@@ -166,7 +166,7 @@ def _segment_sizes(n: int) -> tuple[int, int, int]:
 
 
 def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
-                      w8: jax.Array, w12: jax.Array, seg: int):
+                      w8: jax.Array | None, w12: jax.Array | None, seg: int):
     """Nearest (and second-nearest) previous same-hash candidates per
     position via ONE batched segment sort carrying the position's own 16
     bytes as payloads; LCP<=16 computed by neighbor compares in sorted
@@ -178,11 +178,13 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
     m = n // seg
     lp = jax.lax.broadcasted_iota(jnp.uint32, (m, seg), 1)
     key = (h.reshape(m, seg).astype(jnp.uint32) << jnp.uint32(15)) | lp
-    sk, sw, sw4, sw8, sw12 = jax.lax.sort(
-        (key, w.reshape(m, seg), w4.reshape(m, seg), w8.reshape(m, seg),
-         w12.reshape(m, seg)),
-        num_keys=1, dimension=1,
-    )
+    deep = w8 is not None
+    ops = (key, w.reshape(m, seg), w4.reshape(m, seg))
+    if deep:
+        ops = ops + (w8.reshape(m, seg), w12.reshape(m, seg))
+    sorted_ops = jax.lax.sort(ops, num_keys=1, dimension=1)
+    sk, sw, sw4 = sorted_ops[:3]
+    sw8, sw12 = (sorted_ops[3], sorted_ops[4]) if deep else (None, None)
     shash = sk >> jnp.uint32(15)
     slp = sk & jnp.uint32(32767)
     col = jax.lax.broadcasted_iota(jnp.int32, (m, seg), 1)
@@ -195,14 +197,11 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
         )
         eq4 = same & (sw == jnp.roll(sw, d, axis=1))
         eq8 = eq4 & (sw4 == jnp.roll(sw4, d, axis=1))
-        eq12 = eq8 & (sw8 == jnp.roll(sw8, d, axis=1))
-        eq16 = eq12 & (sw12 == jnp.roll(sw12, d, axis=1))
-        mlen = (
-            eq4.astype(jnp.uint32) * 4
-            + eq8.astype(jnp.uint32) * 4
-            + eq12.astype(jnp.uint32) * 4
-            + eq16.astype(jnp.uint32) * 4
-        )
+        mlen = eq4.astype(jnp.uint32) * 4 + eq8.astype(jnp.uint32) * 4
+        if deep:
+            eq12 = eq8 & (sw8 == jnp.roll(sw8, d, axis=1))
+            eq16 = eq12 & (sw12 == jnp.roll(sw12, d, axis=1))
+            mlen = mlen + eq12.astype(jnp.uint32) * 4 + eq16.astype(jnp.uint32) * 4
         dist = jnp.where(eq4, slp - jnp.roll(slp, d, axis=1), jnp.uint32(0))
         return mlen, dist
 
@@ -420,12 +419,14 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
         half = sort_seg // 2
         junk = jnp.full(half, 1 << HASH_ORDER, jnp.uint32)
         zpad = jnp.zeros(half, jnp.uint32)
+        # the rescue pass only recovers matches pass 1 missed entirely, so a
+        # shallower LCP cap (8 + chain extension) keeps it 2 payloads cheaper
         mlen_b, dist_b = _sorted_matchfind(
             jnp.concatenate([h[half:], junk]),
             jnp.concatenate([words_u32[half:], zpad]),
             jnp.concatenate([w4[half:], zpad]),
-            jnp.concatenate([w8[half:], zpad]),
-            jnp.concatenate([w12[half:], zpad]),
+            None,
+            None,
             sort_seg,
         )
         mlen_b = jnp.concatenate([jnp.zeros(half, jnp.int32), mlen_b[:-half]])
