@@ -19,11 +19,12 @@ expensive primitives — so every stage below is formulated to avoid them.
    first 8 bytes of ``lz_extend`` collapse into shifted compares with ZERO
    gathers.  A second (payload) sort keyed on local position un-permutes.
    Batched 32K-segment sorts are ~10x cheaper than one global sort on TPU.
-3. **Run extension: offset-wise log-doubling.**  For small offsets d=1..8
-   (runs, the only place long matches matter at level 1), match length at
-   every position is the run length of ``b[i]==b[i-d]``, computed exactly
-   up to 258 by 9 doubling passes — pure shifts and selects, no gathers.
-   This exceeds the reference level-1 cap (nice_len=32) for run data.
+3. **Long matches: stride-8 chain extension.**  If position i matched
+   >= 8 bytes at distance d and position i+8 found the same d, the matches
+   compose exactly; six log-doubling passes reach the full 258 length —
+   pure shifts and selects.  This subsumes a dedicated RLE path (runs hash
+   to the same bucket, so the sorted neighbor is the distance-1..8
+   candidate) and exceeds the reference level-1 cap (nice_len=32) on runs.
 4. **Greedy commit: independent 512-position segments.**  The inherently
    sequential "advance by match length" scan runs as a `lax.scan` FSM over
    512 steps, vectorized across all segments, with matches truncated at
@@ -58,7 +59,6 @@ HASH_ORDER = 15
 MIN_MATCH = 4
 SORT_SEG = 32768   # matchfinder segment (== DEFLATE max match offset)
 FSM_SEG = 512      # greedy-commit segment (parse truncation boundary)
-RLE_MAX_D = 8      # offsets covered exactly by the run-extension path
 MAX_LEN = 258
 
 
@@ -236,31 +236,6 @@ def _chain_extend(mlen: jax.Array, dist: jax.Array):
     return jnp.minimum(r, MAX_LEN), dist
 
 
-def _rle_matchfind(b: jax.Array, live: jax.Array):
-    """Exact run-match lengths (<= MAX_LEN) for offsets 1..RLE_MAX_D via
-    log-doubling — the TPU replacement for the reference's long-match
-    extension on run data (lz_extend, lib/matchfinder_common.h:178-222).
-    Returns (best_len, best_d); best_len already capped at MAX_LEN."""
-    n = b.shape[0]
-    best_len = jnp.zeros(n, jnp.int32)
-    best_d = jnp.ones(n, jnp.int32)
-    for d in range(1, RLE_MAX_D + 1):
-        eq = jnp.concatenate(
-            [jnp.zeros(d, bool), b[d:] == b[:-d]]
-        ) & live
-        r = eq.astype(jnp.int32)
-        s = 1
-        while s < MAX_LEN:
-            nxt = jnp.concatenate([r[s:], jnp.zeros(s, jnp.int32)])
-            r = r + jnp.where(r == s, nxt, 0)
-            s *= 2
-        r = jnp.minimum(r, MAX_LEN)
-        better = r > best_len
-        best_len = jnp.where(better, r, best_len)
-        best_d = jnp.where(better, d, best_d)
-    return best_len, best_d
-
-
 def _greedy_commit(span: jax.Array, is_match: jax.Array, seg: int,
                    lazy: bool = False):
     """Greedy parse as independent `seg`-position segments: a lax.scan FSM
@@ -434,16 +409,12 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
         better_b = mlen_b > mlen_s
         mlen_s = jnp.where(better_b, mlen_b, mlen_s)
         dist_s = jnp.where(better_b, dist_b, dist_s)
-    mlen_r, dist_r = _rle_matchfind(bp, live)
 
     cap = jnp.clip(length - pos, 0, MAX_LEN)
     mlen_s = jnp.minimum(mlen_s, cap)
-    mlen_r = jnp.minimum(mlen_r, cap)
-    use_r = (mlen_r >= MIN_MATCH) & (mlen_r >= mlen_s)
-    use_s = ~use_r & (mlen_s >= MIN_MATCH)
-    is_match = use_r | use_s
-    span = jnp.where(use_r, mlen_r, jnp.where(use_s, mlen_s, 1))
-    dist = jnp.where(use_r, dist_r, dist_s)
+    is_match = mlen_s >= MIN_MATCH
+    span = jnp.where(is_match, mlen_s, 1)
+    dist = dist_s
 
     committed, eff = _greedy_commit(span, is_match, fsm_seg, lazy=lazy)
     commit_match = committed & (eff >= 3) & live
