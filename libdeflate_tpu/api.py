@@ -106,6 +106,11 @@ class Compressor:
     def gzip_compress_bound(self, in_nbytes: int) -> int:
         return gzip_compress_bound(in_nbytes)
 
+    def get_compression_level(self) -> int:
+        """Parity: libdeflate_get_compression_level
+        (lib/deflate_compress.c:4081-4085)."""
+        return self.level
+
     # -- convenience --------------------------------------------------------
     def compress(self, data, fmt: str = "deflate") -> bytes:
         return {
@@ -142,7 +147,7 @@ class Decompressor:
         if hlen is None or len(data) < zlib_fmt.MIN_OVERHEAD:
             return (BAD_DATA, None, 0, 0)
         body = data[hlen : ]
-        res, out, ain, aout = _dhost.deflate_decompress(
+        res, out, ain, aout = self.deflate_decompress(
             body, out_nbytes_avail, known_size
         )
         if res != SUCCESS:
@@ -166,7 +171,7 @@ class Decompressor:
         if hlen is None:
             return (BAD_DATA, None, 0, 0)
         body = data[hlen : len(data) - gzip_fmt.FOOTER_SIZE]
-        res, out, ain, aout = _dhost.deflate_decompress(
+        res, out, ain, aout = self.deflate_decompress(
             body, out_nbytes_avail, known_size
         )
         if res != SUCCESS:
