@@ -22,7 +22,15 @@ def adler32(data, adler: int = 1) -> int:
     """Adler-32 as two closed-form weighted sums (no per-byte loop).
 
     s1' = s1 + sum(b);  s2' = s2 + n*s1 + sum((n-i)*b_i)   (all mod 65521)
+
+    Dispatches to the native codec's kernel when available (the runtime-
+    dispatch analogue of lib/adler32.c:135-154); the NumPy formulation
+    below stays as the forced-dispatch fallback and test cross-check.
     """
+    from .. import native_backend
+
+    if native_backend.available():
+        return native_backend.adler32(bytes(data), adler)
     buf = np.frombuffer(memoryview(data), dtype=np.uint8)
     n = buf.shape[0]
     s1 = adler & 0xFFFF
@@ -65,7 +73,15 @@ def crc32(data, crc: int = 0) -> int:
     """gzip CRC-32 with the standard pre/post inversion.
 
     crc32(init, M) = ~( A^{|M|} (~init) XOR raw(M) )
+
+    Dispatches to the native slice-by-8 kernel when available (the
+    runtime-dispatch analogue of lib/crc32.c:235-254); the GF(2)-tree
+    NumPy path stays as the forced-dispatch fallback and cross-check.
     """
+    from .. import native_backend
+
+    if native_backend.available():
+        return native_backend.crc32(bytes(data), crc)
     buf = np.frombuffer(memoryview(data), dtype=np.uint8)
     n = buf.shape[0]
     reg = np.uint32(~crc & 0xFFFFFFFF)
