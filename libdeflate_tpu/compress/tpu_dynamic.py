@@ -267,7 +267,7 @@ def _translate(sk: jax.Array, starts: jax.Array, table: jax.Array, seg: int):
 # Main entry
 # ---------------------------------------------------------------------------
 def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array,
-                           two_pass: bool = False):
+                           two_pass: bool = False, depth: int = 2):
     """Compress one chunk into a byte-aligned raw-DEFLATE fragment using
     per-chunk dynamic litlen + distance codes (static block selected per
     chunk when cheaper).  ``two_pass`` doubles matchfinder window coverage
@@ -276,7 +276,7 @@ def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array,
     n = b.shape[0]
     _, sort_seg, _ = _segment_sizes(n)
     bp, pos, commit_match, commit_lit, eff, dist = _parse_chunk(
-        b, length, lazy=True, two_pass=two_pass
+        b, length, lazy=True, two_pass=two_pass, depth=depth
     )
 
     lslot, lbase, lextra = _length_slot(jnp.maximum(eff, 3))
@@ -400,8 +400,13 @@ def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array,
 
 
 def compress_chunk_dynamic2(b, length, bfinal):
-    """Two-pass-window dynamic compressor (the levels >= 6 quality mode)."""
+    """Two-pass-window dynamic compressor (the levels 6-7 quality mode)."""
     return compress_chunk_dynamic(b, length, bfinal, two_pass=True)
+
+
+def compress_chunk_dynamic3(b, length, bfinal):
+    """Two-pass window + 4-deep candidate probes (levels >= 8)."""
+    return compress_chunk_dynamic(b, length, bfinal, two_pass=True, depth=4)
 
 
 @jax.jit
@@ -413,5 +418,11 @@ def compress_chunks_dynamic(bufs: jax.Array, lengths: jax.Array, bfinal: jax.Arr
 
 @jax.jit
 def compress_chunks_dynamic2(bufs: jax.Array, lengths: jax.Array, bfinal: jax.Array):
-    """vmapped two-pass dynamic chunk compressor (levels >= 6)."""
+    """vmapped two-pass dynamic chunk compressor (levels 6-7)."""
     return jax.vmap(compress_chunk_dynamic2)(bufs, lengths, bfinal)
+
+
+@jax.jit
+def compress_chunks_dynamic3(bufs: jax.Array, lengths: jax.Array, bfinal: jax.Array):
+    """vmapped deep-probe dynamic chunk compressor (levels >= 8)."""
+    return jax.vmap(compress_chunk_dynamic3)(bufs, lengths, bfinal)

@@ -166,7 +166,8 @@ def _segment_sizes(n: int) -> tuple[int, int, int]:
 
 
 def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
-                      w8: jax.Array | None, w12: jax.Array | None, seg: int):
+                      w8: jax.Array | None, w12: jax.Array | None, seg: int,
+                      depth: int = 2):
     """Nearest (and second-nearest) previous same-hash candidates per
     position via ONE batched segment sort carrying the position's own 16
     bytes as payloads; LCP<=16 computed by neighbor compares in sorted
@@ -205,11 +206,12 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
         dist = jnp.where(eq4, slp - jnp.roll(slp, d, axis=1), jnp.uint32(0))
         return mlen, dist
 
-    mlen1, dist1 = probe(1)
-    mlen2, dist2 = probe(2)
-    better2 = mlen2 > mlen1          # ties keep the nearer candidate
-    mlen = jnp.where(better2, mlen2, mlen1)
-    dist = jnp.where(better2, dist2, dist1)
+    mlen, dist = probe(1)
+    for d in range(2, depth + 1):
+        m2, d2 = probe(d)
+        better = m2 > mlen           # ties keep the nearer candidate
+        mlen = jnp.where(better, m2, mlen)
+        dist = jnp.where(better, d2, dist)
 
     payload = (mlen << jnp.uint32(16)) | dist
     _, pay = jax.lax.sort((slp, payload), num_keys=1, dimension=1)
@@ -365,7 +367,7 @@ def _group_pack(values: jax.Array, nbits: jax.Array, offs: jax.Array,
 
 
 def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
-                 two_pass: bool = False):
+                 two_pass: bool = False, depth: int = 2):
     """Shared greedy LZ parse: matchfind (sorted + RLE paths), combine,
     segment-FSM commit (optionally lazy).  With ``two_pass``, a second
     matchfind over half-segment-shifted windows guarantees every position
@@ -389,7 +391,8 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
     # positions without 4 valid bytes go to a junk bucket no real hash hits
     h = jnp.where(pos + MIN_MATCH <= length, h, jnp.uint32(1 << HASH_ORDER))
 
-    mlen_s, dist_s = _sorted_matchfind(h, words_u32, w4, w8, w12, sort_seg)
+    mlen_s, dist_s = _sorted_matchfind(h, words_u32, w4, w8, w12, sort_seg,
+                                       depth=depth)
     if two_pass and sort_seg >= 2 * FSM_SEG:
         half = sort_seg // 2
         junk = jnp.full(half, 1 << HASH_ORDER, jnp.uint32)

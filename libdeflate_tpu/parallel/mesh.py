@@ -42,14 +42,17 @@ def _chunk_compressor(level: int):
     """Device chunk compressor ladder (the analogue of the reference's
     per-level impl table, lib/deflate_compress.c:3927-4013):
     1 -> static-code greedy (fastest); 2-5 -> dynamic Huffman;
-    >= 6 -> dynamic Huffman + two-pass matchfinder window."""
+    6-7 -> + two-pass matchfinder window; >= 8 -> + 4-deep probes."""
     if level <= 1:
         return compress_chunk_static
     from ..compress.tpu_dynamic import (
         compress_chunk_dynamic,
         compress_chunk_dynamic2,
+        compress_chunk_dynamic3,
     )
 
+    if level >= 8:
+        return compress_chunk_dynamic3
     return compress_chunk_dynamic2 if level >= 6 else compress_chunk_dynamic
 
 
