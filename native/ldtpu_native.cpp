@@ -227,12 +227,23 @@ struct BitWriter {
     bool overflow = false;
     BitWriter(u8* o, size_t c) : out(o), cap(c) {}
     inline void add(u64 v, unsigned n) {
+        // items are <= 47 bits (14+5+15+13) and cnt stays <= 7 after a
+        // flush, so `v << cnt` never overflows the 64-bit buffer
         buf |= v << cnt;
         cnt += n;
-        while (cnt >= 8) {
-            if (pos >= cap) { overflow = true; cnt = 0; buf = 0; return; }
-            out[pos++] = (u8)buf;
-            buf >>= 8; cnt -= 8;
+        if (cnt >= 8) {
+            if (pos + 8 <= cap) {
+                memcpy(out + pos, &buf, 8);   // one word store, no byte loop
+                pos += cnt >> 3;
+                buf >>= (cnt & ~7u);
+                cnt &= 7;
+            } else {
+                while (cnt >= 8) {
+                    if (pos >= cap) { overflow = true; cnt = 0; buf = 0; return; }
+                    out[pos++] = (u8)buf;
+                    buf >>= 8; cnt -= 8;
+                }
+            }
         }
     }
     void align() { if (cnt) add(0, 8 - (cnt & 7)); }
@@ -700,6 +711,83 @@ static size_t compress_near_optimal(int level, const u8* in, size_t n,
     return bw.finish();
 }
 
+// Level-1 fast path: 2-entry-bucket hash table with combined insert+probe,
+// greedy parse, fixed 65535-byte soft blocks, no block splitting and no
+// hash3/chains (role parity: deflate_compress_fastest + ht_matchfinder,
+// lib/deflate_compress.c:2451-2523, lib/ht_matchfinder.h:77-232).
+static size_t compress_fastest(const u8* in, size_t n, u8* out,
+                               size_t out_avail) {
+    BitWriter bw(out, out_avail);
+    const int ORDER = 15;
+    const u32 NICE = 32;
+    std::vector<s32> tab(2u << ORDER, -1);
+    const size_t SOFT = 65535, SEQ_SOFT = 8192;
+    size_t end_matchable = n >= 4 ? n - 3 : 0;
+    std::vector<Seq> seqs;
+    seqs.reserve(SEQ_SOFT + 16);
+    size_t in_next = 0;
+
+    auto load32 = [&](size_t i) { u32 v; memcpy(&v, in + i, 4); return v; };
+    auto extend = [&](size_t i, size_t j, u32 limit) -> u32 {
+        u32 l = 4;
+        while (l + 8 <= limit) {
+            u64 a, b;
+            memcpy(&a, in + i + l, 8);
+            memcpy(&b, in + j + l, 8);
+            u64 x = a ^ b;
+            if (x) return l + (__builtin_ctzll(x) >> 3);
+            l += 8;
+        }
+        while (l < limit && in[i + l] == in[j + l]) l++;
+        return l;
+    };
+
+    while (in_next < n && !bw.overflow) {
+        size_t block_begin = in_next;
+        size_t block_end = std::min(n, in_next + SOFT);
+        seqs.clear();
+        while (in_next < block_end && seqs.size() < SEQ_SOFT) {
+            if (in_next >= end_matchable) {
+                seqs.push_back({0, 0, 0, in[in_next]});
+                in_next++;
+                continue;
+            }
+            u32 w = load32(in_next);
+            u32 h = (w * HASH_MULT) >> (32 - ORDER);
+            s32 c1 = tab[2 * h], c2 = tab[2 * h + 1];
+            tab[2 * h + 1] = c1;
+            tab[2 * h] = (s32)in_next;
+            u32 best = 0, boff = 0;
+            u32 limit = (u32)std::min<size_t>(258, n - in_next);
+            for (s32 j : {c1, c2}) {
+                if (j < 0 || in_next - (size_t)j > 32768) continue;
+                u32 wj;
+                memcpy(&wj, in + j, 4);
+                if (wj != w) continue;
+                u32 l = extend(in_next, j, limit);
+                if (l > best) { best = l; boff = (u32)(in_next - (size_t)j); }
+                if (best >= NICE) break;
+            }
+            if (best >= 4) {
+                seqs.push_back({1, 0, (u16)best, boff});
+                size_t stop = std::min(in_next + best, end_matchable);
+                for (size_t p = in_next + 1; p < stop; p++) {
+                    u32 hp = (load32(p) * HASH_MULT) >> (32 - ORDER);
+                    tab[2 * hp + 1] = tab[2 * hp];
+                    tab[2 * hp] = (s32)p;
+                }
+                in_next += best;
+            } else {
+                seqs.push_back({0, 0, 0, in[in_next]});
+                in_next++;
+            }
+        }
+        flush_block(bw, in + block_begin, in_next - block_begin, seqs,
+                    in_next == n);
+    }
+    return bw.finish();
+}
+
 extern "C" size_t ld_deflate_compress(int level, const u8* in, size_t n,
                                       u8* out, size_t out_avail) {
     slot_init();
@@ -722,6 +810,7 @@ extern "C" size_t ld_deflate_compress(int level, const u8* in, size_t n,
         return bw.finish();
     }
     if (level >= 10) return compress_near_optimal(level, in, n, out, out_avail);
+    if (level == 1) return compress_fastest(in, n, out, out_avail);
 
     LevelCfg cfg = level_cfg(level);
     Parser P(in, n);
