@@ -27,6 +27,26 @@ def make_engines(level: int, fmt: str):
     c = ld.Compressor(min(max(level, 0), 12))
     d = ld.Decompressor()
     comp["ours"] = lambda data: c.compress(data, fmt)
+
+    _mesh_cache = []
+
+    def _tpu_c(data):
+        # device chunk-DP path (levels ladder: static / dynamic / 2-pass)
+        from ..parallel import file_codec, mesh
+
+        if not _mesh_cache:
+            _mesh_cache.append(mesh.make_chunk_mesh())
+        m = _mesh_cache[0]
+        fn = {
+            "deflate": lambda: file_codec.deflate_compress_dp(
+                data, m, level=level
+            )[0],
+            "zlib": lambda: file_codec.zlib_compress_dp(data, m, level=level),
+            "gzip": lambda: file_codec.gzip_compress_dp(data, m, level=level),
+        }[fmt]
+        return fn()
+
+    comp["ours-tpu"] = _tpu_c
     def _ours_d(blob, out_size):
         res, out, _, _ = d.decompress(blob, out_size, fmt, known_size=True)
         if res != ld.SUCCESS:

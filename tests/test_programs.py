@@ -100,6 +100,18 @@ class TestBenchmarkProgram:
             assert b"Compressed" in r.stdout
 
 
+class TestBenchmarkTpuEngine:
+    def test_device_engine_roundtrip(self, tmp_path, rng):
+        p = tmp_path / "dev.dat"
+        p.write_bytes(rng.integers(97, 105, size=30000, dtype=np.uint8).tobytes())
+        r = run_prog(
+            "libdeflate_tpu.programs.benchmark", "-1", "-s", "8192",
+            "-g", "-C", "ours-tpu", str(p),
+        )
+        assert r.returncode == 0, r.stderr.decode()
+        assert b"Compressed" in r.stdout
+
+
 class TestChecksumProgram:
     def test_crc_and_adler(self, tmp_path):
         p = tmp_path / "c.dat"
