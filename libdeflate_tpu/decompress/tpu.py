@@ -209,9 +209,6 @@ def deflate_decompress_chunk(data: jax.Array, in_nbytes: jax.Array, out_cap: int
             bad = (~ok) | (sym >= 286) | (nbp > hard_limit)
 
             lit_overflow = is_lit & (t["out_pos"] >= out_cap)
-            lit_out = t["out"].at[t["out_pos"]].set(
-                sym.astype(jnp.uint8), mode="drop"
-            )
 
             lslot = jnp.clip(sym - 257, 0, 28)
             lxb = _LEN_EXTRA[lslot]
@@ -235,21 +232,26 @@ def deflate_decompress_chunk(data: jax.Array, in_nbytes: jax.Array, out_cap: int
             )
             moverflow = is_len & ~mbad & (t["out_pos"] + length > out_cap)
 
+            # ONE unconditional 264-byte window write per symbol: the match
+            # copy, the literal (lane 0), and the no-op case all merge into
+            # the same dynamic_update_slice, which XLA aliases in-place
+            # inside the loop — no full-array selects (those made every
+            # symbol cost O(out_cap)).
+            do_match = is_len & ~mbad & ~moverflow
+            do_lit = is_lit & ~lit_overflow
             src = jnp.maximum(t["out_pos"] - offset, 0)
             win = jax.lax.dynamic_slice(t["out"], (src,), (264,))
             k = jax.lax.broadcasted_iota(jnp.int32, (264, 1), 0)[:, 0]
             src_rel = k % jnp.maximum(offset, 1)
             copy_vals = win[src_rel]
             dst_win = jax.lax.dynamic_slice(t["out"], (t["out_pos"],), (264,))
-            merged = jnp.where(k < length, copy_vals, dst_win)
-            out_match = jax.lax.dynamic_update_slice(
-                t["out"], merged, (t["out_pos"],)
+            merged = jnp.where(
+                do_match & (k < length),
+                copy_vals,
+                jnp.where(do_lit & (k == 0), sym.astype(jnp.uint8), dst_win),
             )
-
-            do_match = is_len & ~mbad & ~moverflow
-            do_lit = is_lit & ~lit_overflow
-            t["out"] = jnp.where(
-                do_match, out_match, jnp.where(do_lit, lit_out, t["out"])
+            t["out"] = jax.lax.dynamic_update_slice(
+                t["out"], merged, (t["out_pos"],)
             )
             t["out_pos"] = (
                 t["out_pos"]
@@ -287,11 +289,14 @@ def deflate_decompress_chunk(data: jax.Array, in_nbytes: jax.Array, out_cap: int
             jnp.pad(data, (0, 65536 + 16)), (src_start,), (65536,)
         )
         win_out = jax.lax.dynamic_slice(s["out"], (s["out_pos"],), (65536,))
-        m = jax.lax.broadcasted_iota(jnp.int32, (65536, 1), 0)[:, 0] < length
-        merged = jnp.where(m, win_in, win_out)
-        out2 = jax.lax.dynamic_update_slice(s["out"], merged, (s["out_pos"],))
         good = ok & fits_in & fits_out
-        s["out"] = jnp.where(good, out2, s["out"])
+        m = good & (
+            jax.lax.broadcasted_iota(jnp.int32, (65536, 1), 0)[:, 0] < length
+        )
+        merged = jnp.where(m, win_in, win_out)
+        s["out"] = jax.lax.dynamic_update_slice(
+            s["out"], merged, (s["out_pos"],)
+        )
         s["out_pos"] = jnp.where(good, s["out_pos"] + length, s["out_pos"])
         s["bit_pos"] = jnp.where(good, (byte + 4 + length) * 8, s["bit_pos"])
         s["result"] = jnp.where(
