@@ -27,7 +27,7 @@ import time
 import numpy as np
 
 CHUNK = 1 << 20  # 1 MiB chunks (the reference benchmark's default)
-BATCH = 8        # chunks per device dispatch (tuned: best MB/s on v5e)
+BATCH = 4        # chunks per device dispatch (tuned: best MB/s on v5e)
 CORPUS_MB = 16
 LEVEL = 6        # quality tier compared: TPU dynamic-2pass vs libdeflate -6
 REF_BENCH = "/tmp/refbuild/programs/benchmark"
@@ -146,13 +146,16 @@ def main() -> None:
     w, t = compress_chunks_dynamic2(*batches[0])
     _ = np.asarray(t)
 
-    t0 = time.perf_counter()
-    outs = []
-    for b in batches:
-        outs.append(compress_chunks_dynamic2(*b))
-    for _, t in outs:
-        _ = np.asarray(t)
-    dt = time.perf_counter() - t0
+    # best-of-3, matching the baseline measurement protocol
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = []
+        for b in batches:
+            outs.append(compress_chunks_dynamic2(*b))
+        for _, t in outs:
+            _ = np.asarray(t)
+        dt = min(dt, time.perf_counter() - t0)
     nbytes = len(batches) * BATCH * CHUNK
     gbps = nbytes / dt / 1e9
 
