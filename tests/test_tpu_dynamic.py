@@ -94,6 +94,30 @@ class TestDynamicBlocks:
         )
         assert int(np.asarray(t_dyn)[0]) < int(np.asarray(t_sta)[0])
 
+    def test_full_scale_chunk(self, dyn, rng):
+        """1 MiB chunks exercise the production shapes: 32x32768 sort
+        segments, the two-pass window, and prefix-sum exactness at the
+        sizes where f32/int32 overflow bugs would hide."""
+        import zlib
+
+        td, tp, jnp = dyn
+        from libdeflate_tpu.compress.tpu_dynamic import compress_chunks_dynamic2
+
+        n = 1 << 20
+        text = b"".join(
+            b"word%d " % int(x) for x in rng.integers(0, 500, 40000)
+        )[: n // 2]
+        data = text + rng.integers(0, 256, n - len(text), np.uint8).tobytes()
+        buf = np.frombuffer(data, np.uint8)[None, :]
+        w, t = compress_chunks_dynamic2(
+            jnp.asarray(buf), jnp.asarray([n], np.int32), jnp.asarray([True])
+        )
+        stream = tp.device_stream_to_bytes(
+            np.asarray(w)[0], int(np.asarray(t)[0])
+        )
+        assert zlib.decompressobj(-15).decompress(stream) == data
+        assert len(stream) < n  # half-compressible input must shrink
+
     def test_fuzz_roundtrip(self, dyn, rng):
         td, tp, jnp = dyn
         payloads = []
