@@ -118,6 +118,27 @@ class TestDynamicBlocks:
         assert zlib.decompressobj(-15).decompress(stream) == data
         assert len(stream) < n  # half-compressible input must shrink
 
+    def test_segment_boundary_lengths(self, dyn, rng):
+        """Lengths straddling the sort/FSM segment boundaries inside a
+        big-shape buffer (the N >= 32768 code path with the two-pass
+        window) — where padding/masking bugs would live."""
+        import zlib
+        from libdeflate_tpu.compress.tpu_dynamic import compress_chunks_dynamic2
+
+        td, tp, jnp = dyn
+        n = 1 << 16
+        lens = [0, 1, 3, 511, 512, 513, 16384, 16385, 32768, 32769, 65535]
+        payloads = [rng.integers(0, 200, l, np.uint8).tobytes() for l in lens]
+        bufs, plens = make_chunks(payloads, n=n)
+        w, t = compress_chunks_dynamic2(
+            jnp.asarray(bufs), jnp.asarray(plens),
+            jnp.asarray([i % 2 == 0 for i in range(len(payloads))]),
+        )
+        w, t = np.asarray(w), np.asarray(t)
+        for i, p in enumerate(payloads):
+            s = tp.device_stream_to_bytes(w[i], t[i])
+            assert zlib.decompressobj(-15).decompress(s) == p, lens[i]
+
     def test_fuzz_roundtrip(self, dyn, rng):
         td, tp, jnp = dyn
         payloads = []
