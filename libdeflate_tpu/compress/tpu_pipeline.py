@@ -238,29 +238,17 @@ def _chain_extend(mlen: jax.Array, dist: jax.Array):
     return jnp.minimum(r, MAX_LEN), dist
 
 
-def _greedy_commit(span: jax.Array, is_match: jax.Array, seg: int,
-                   lazy: bool = False):
+def _greedy_commit(span: jax.Array, is_match: jax.Array, seg: int):
     """Greedy parse as independent `seg`-position segments: a lax.scan FSM
     over the segment, vectorized across segments; matches are truncated at
     segment boundaries (a truncation below 3 bytes falls back to a
     literal).  Exactly: i=seg_start; while: commit[i]; i += eff[i].
-
-    With ``lazy``, a match is deferred to a literal when the next position
-    holds a strictly longer match (the reference's 1-position lookahead,
-    lib/deflate_compress.c:2604-2808, with the simple length test).
     Returns (committed mask, eff span) per position."""
     n = span.shape[0]
     m = n // seg
     span_t = span.reshape(m, seg).T          # [seg, m]
     match_t = is_match.reshape(m, seg).T
     remaining = jnp.arange(seg, 0, -1, dtype=jnp.int32)  # seg - t
-
-    if lazy:
-        span_n = jnp.concatenate([span[1:], jnp.ones(1, jnp.int32)])
-        match_n = jnp.concatenate([is_match[1:], jnp.zeros(1, bool)])
-        defer = is_match & match_n & (span_n > span)
-        is_match = is_match & ~defer
-        match_t = is_match.reshape(m, seg).T
 
     def step(e, xs):
         sp, im, rem = xs
@@ -419,7 +407,22 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
     span = jnp.where(is_match, mlen_s, 1)
     dist = dist_s
 
-    committed, eff = _greedy_commit(span, is_match, fsm_seg, lazy=lazy)
+    if lazy:
+        # offset-aware 1-position lookahead: defer a match to a literal
+        # when the next position's match wins the reference's weighted test
+        # 4*(next_len - cur_len) + bsr(cur_off) - bsr(next_off) > 2
+        # (lib/deflate_compress.c:2722-2725)
+        span_n = jnp.concatenate([span[1:], jnp.ones(1, jnp.int32)])
+        match_n = jnp.concatenate([is_match[1:], jnp.zeros(1, bool)])
+        dist_n = jnp.concatenate([dist[1:], jnp.ones(1, jnp.int32)])
+        score = 4 * (span_n - span) + (
+            _bsr(jnp.maximum(dist, 1)) - _bsr(jnp.maximum(dist_n, 1))
+        )
+        defer = is_match & match_n & (span_n >= span) & (score > 2)
+        is_match = is_match & ~defer
+        span = jnp.where(is_match, span, 1)
+
+    committed, eff = _greedy_commit(span, is_match, fsm_seg)
     commit_match = committed & (eff >= 3) & live
     commit_lit = committed & (eff < 3) & live
     return bp, pos, commit_match, commit_lit, eff, dist
