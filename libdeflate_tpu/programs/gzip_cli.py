@@ -2,7 +2,8 @@
 
 Supports: -1..-12 levels, -c (stdout), -d (decompress), -f (force),
 -k (keep), -n (no-name; accepted for compatibility), -q (quiet),
--S SUFFIX, -t (test), -V/--version.  Invoked as ``gunzip`` (argv[0] or
+-S SUFFIX, -t (test), -V/--version, --tpu (compress on the device
+chunk-DP engine).  Invoked as ``gunzip`` (argv[0] or
 ``python -m libdeflate_tpu.programs.gzip_cli gunzip``) it decompresses by
 default.  Multi-member streams, ISIZE-hinted output sizing with
 doubling-on-INSUFFICIENT_SPACE and the 1032x expansion cap mirror
@@ -25,7 +26,13 @@ def msg(quiet: bool, *args) -> None:
         print(f"{PROG}:", *args, file=sys.stderr)
 
 
-def do_compress(data: bytes, level: int) -> bytes:
+def do_compress(data: bytes, level: int, tpu: bool = False) -> bytes:
+    if tpu:
+        from ..parallel import file_codec, mesh
+
+        return file_codec.gzip_compress_dp(
+            data, mesh.make_chunk_mesh(), level=level
+        )
     return ld.Compressor(level).gzip_compress(data)
 
 
@@ -83,7 +90,7 @@ def process_file(path: str, opts) -> int:
             return 0
         out_path = None if to_stdout or in_path is None else in_path[: -len(suffix)]
     else:
-        out = do_compress(data, opts["level"])
+        out = do_compress(data, opts["level"], opts.get("tpu", False))
         out_path = None if to_stdout or in_path is None else in_path + suffix
 
     if out_path is None:
@@ -113,6 +120,7 @@ def main(argv=None) -> int:
     args = argv[1:]
     opts = {
         "level": 6, "c": False, "d": "gunzip" in prog, "f": False,
+        "tpu": False,
         "k": False, "q": False, "t": False, "S": ".gz",
     }
     files: list[str] = []
@@ -125,6 +133,10 @@ def main(argv=None) -> int:
         if a == "--help" or a == "-h":
             print(__doc__)
             return 0
+        if a == "--tpu":
+            opts["tpu"] = True
+            i += 1
+            continue
         if a.startswith("-") and len(a) > 1 and a != "-":
             body = a[1:]
             if body.isdigit():  # -1 .. -12 (multi-digit like the reference)
