@@ -1,0 +1,54 @@
+#!/bin/sh
+# Meta test harness — role parity with the reference's scripts/run_tests.sh:
+# run the full suite in every dispatch configuration on one box, the way the
+# reference re-runs with LIBDEFLATE_DISABLE_CPU_FEATURES to cover all its
+# SIMD variants (scripts/run_tests.sh:133-165).
+#
+# Modes (run all by default; pass names to select):
+#   regular        pytest on the forced 8-device CPU mesh (conftest)
+#   no_native      same, with LIBDEFLATE_TPU_NO_NATIVE=1 so every host call
+#                  exercises the pure-Python/NumPy paths
+#   fuzz           randomized round-trip + adversarial-stream harness
+#   cli_mix        gzip CLI vs system gzip in both directions
+set -e
+cd "$(dirname "$0")/.."
+MODES="${*:-regular no_native fuzz cli_mix}"
+
+run() { echo "== $1 =="; shift; "$@"; }
+
+for mode in $MODES; do
+  case "$mode" in
+    regular)
+      run regular python -m pytest tests/ -q
+      ;;
+    no_native)
+      run no_native env LIBDEFLATE_TPU_NO_NATIVE=1 \
+        python -m pytest tests/ -q --ignore=tests/test_native.py
+      ;;
+    fuzz)
+      run fuzz python scripts/fuzz.py --iters 150 --device-every 50
+      ;;
+    cli_mix)
+      run cli_mix sh -c '
+        set -e
+        tmp=$(mktemp -d)
+        trap "rm -rf $tmp" EXIT
+        head -c 200000 /dev/urandom > "$tmp/data"
+        cp "$tmp/data" "$tmp/keep"
+        # ours compresses, system gunzip reads
+        python -m libdeflate_tpu.programs.gzip_cli -6 -f "$tmp/data"
+        gunzip -f "$tmp/data.gz"
+        cmp "$tmp/data" "$tmp/keep"
+        # system gzip compresses, ours reads
+        gzip -f "$tmp/data"
+        python -m libdeflate_tpu.programs.gzip_cli -d -f "$tmp/data.gz"
+        cmp "$tmp/data" "$tmp/keep"
+        echo "cli mix OK"
+      '
+      ;;
+    *)
+      echo "unknown mode: $mode" >&2; exit 2
+      ;;
+  esac
+done
+echo "all modes passed: $MODES"
