@@ -267,7 +267,8 @@ def _translate(sk: jax.Array, starts: jax.Array, table: jax.Array, seg: int):
 # Main entry
 # ---------------------------------------------------------------------------
 def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array,
-                           two_pass: bool = False, depth: int = 2):
+                           two_pass: bool = False, depth: int = 2,
+                           hash3: bool = False):
     """Compress one chunk into a byte-aligned raw-DEFLATE fragment using
     per-chunk dynamic litlen + distance codes (static block selected per
     chunk when cheaper).  ``two_pass`` doubles matchfinder window coverage
@@ -276,7 +277,7 @@ def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array,
     n = b.shape[0]
     _, sort_seg, _ = _segment_sizes(n)
     bp, pos, commit_match, commit_lit, eff, dist = _parse_chunk(
-        b, length, lazy=True, two_pass=two_pass, depth=depth
+        b, length, lazy=True, two_pass=two_pass, depth=depth, hash3=hash3
     )
 
     lslot, lbase, lextra = _length_slot(jnp.maximum(eff, 3))
@@ -405,8 +406,10 @@ def compress_chunk_dynamic2(b, length, bfinal):
 
 
 def compress_chunk_dynamic3(b, length, bfinal):
-    """Two-pass window + 4-deep candidate probes (levels >= 8)."""
-    return compress_chunk_dynamic(b, length, bfinal, two_pass=True, depth=4)
+    """Two-pass window + 4-deep probes + len-3 matches (levels >= 8)."""
+    return compress_chunk_dynamic(
+        b, length, bfinal, two_pass=True, depth=4, hash3=True
+    )
 
 
 @jax.jit

@@ -354,14 +354,43 @@ def _group_pack(values: jax.Array, nbits: jax.Array, offs: jax.Array,
     return words
 
 
+def _hash3_matchfind(h3: jax.Array, words: jax.Array, seg: int):
+    """Nearest previous 3-byte match within 8192 bytes via one batched
+    segment sort (the hc_matchfinder hash3 role, lib/hc_matchfinder.h:119-
+    131; singleton bucket, len-3 only — longer matches come from the
+    4-byte path).  Returns the distance per position (0 = none)."""
+    n = h3.shape[0]
+    m = n // seg
+    lp = jax.lax.broadcasted_iota(jnp.uint32, (m, seg), 1)
+    key = (h3.reshape(m, seg) << jnp.uint32(15)) | lp
+    sk, sw = jax.lax.sort((key, words.reshape(m, seg)), num_keys=1, dimension=1)
+    shash = sk >> jnp.uint32(15)
+    slp = sk & jnp.uint32(32767)
+    col = jax.lax.broadcasted_iota(jnp.int32, (m, seg), 1)
+    same = (
+        (shash == jnp.roll(shash, 1, axis=1))
+        & (shash != jnp.uint32(1 << HASH_ORDER))
+        & (col >= 1)
+    )
+    eq3 = same & (
+        (sw & jnp.uint32(0xFFFFFF)) == (jnp.roll(sw, 1, axis=1) & jnp.uint32(0xFFFFFF))
+    )
+    dist = jnp.where(eq3, slp - jnp.roll(slp, 1, axis=1), jnp.uint32(0))
+    payload = jnp.where(eq3 & (dist <= 8192), dist, jnp.uint32(0))
+    _, pay = jax.lax.sort((slp, payload), num_keys=1, dimension=1)
+    return pay.reshape(n).astype(jnp.int32)
+
+
 def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
-                 two_pass: bool = False, depth: int = 2):
+                 two_pass: bool = False, depth: int = 2, hash3: bool = False):
     """Shared greedy LZ parse: matchfind (sorted + RLE paths), combine,
     segment-FSM commit (optionally lazy).  With ``two_pass``, a second
     matchfind over half-segment-shifted windows guarantees every position
     at least half a window of history (pass 1 alone gives positions near a
-    segment start almost none).  Returns (bp, pos, commit_match,
-    commit_lit, eff, dist) over the padded position array."""
+    segment start almost none).  ``hash3`` adds len-3 matches at offsets
+    <= 8192 from a third segment sort (the deepest-level mode).  Returns
+    (bp, pos, commit_match, commit_lit, eff, dist) over the padded
+    position array."""
     n = b.shape[0]
     n_pad, sort_seg, fsm_seg = _segment_sizes(n)
     bp = jnp.pad(b, (0, n_pad - n))
@@ -403,9 +432,21 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
 
     cap = jnp.clip(length - pos, 0, MAX_LEN)
     mlen_s = jnp.minimum(mlen_s, cap)
-    is_match = mlen_s >= MIN_MATCH
-    span = jnp.where(is_match, mlen_s, 1)
     dist = dist_s
+    if hash3:
+        h3 = (
+            ((words_u32 & jnp.uint32(0xFFFFFF)) * jnp.uint32(MULT))
+            >> jnp.uint32(32 - HASH_ORDER)
+        ).astype(jnp.uint32)
+        h3 = jnp.where(pos + 3 <= length, h3, jnp.uint32(1 << HASH_ORDER))
+        d3 = _hash3_matchfind(h3, words_u32, sort_seg)
+        use3 = (mlen_s < MIN_MATCH) & (d3 > 0) & (cap >= 3)
+        mlen_s = jnp.where(use3, 3, mlen_s)
+        dist = jnp.where(use3, d3, dist)
+        is_match = mlen_s >= 3
+    else:
+        is_match = mlen_s >= MIN_MATCH
+    span = jnp.where(is_match, mlen_s, 1)
 
     if lazy:
         # offset-aware 1-position lookahead: defer a match to a literal
