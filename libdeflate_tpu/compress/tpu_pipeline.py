@@ -12,13 +12,15 @@ expensive primitives — so every stage below is formulated to avoid them.
 2. **Matchfinding: segment-local multi-operand sort.**  Positions are
    grouped into 32 KiB segments (the DEFLATE window size — no match may
    reach farther back anyway) and each segment is sorted by
-   ``hash<<15 | local_pos`` with the position's own first 8 bytes carried
-   as sort *payloads*.  After the sort, each entry's nearest previous
-   same-hash candidate is simply its left neighbor, and the candidate's
-   bytes are that neighbor's payload — the LZ "hash table probe" and the
-   first 8 bytes of ``lz_extend`` collapse into shifted compares with ZERO
+   ``hash<<15 | local_pos`` with the position's own first 16 bytes carried
+   as sort *payloads*.  After the sort, the nearest previous same-hash
+   candidates are roll-1/roll-2 (deeper at high levels) neighbors whose
+   bytes are their payloads — the LZ "hash table probe" and the first 16
+   bytes of ``lz_extend`` collapse into shifted compares with ZERO
    gathers.  A second (payload) sort keyed on local position un-permutes.
    Batched 32K-segment sorts are ~10x cheaper than one global sort on TPU.
+   Optional passes: a half-segment-shifted rescue pass (window coverage)
+   and a 3-byte-hash pass (len-3 matches), per the level ladder.
 3. **Long matches: stride-8 chain extension.**  If position i matched
    >= 8 bytes at distance d and position i+8 found the same d, the matches
    compose exactly; six log-doubling passes reach the full 258 length —
@@ -28,8 +30,9 @@ expensive primitives — so every stage below is formulated to avoid them.
 4. **Greedy commit: independent 512-position segments.**  The inherently
    sequential "advance by match length" scan runs as a `lax.scan` FSM over
    512 steps, vectorized across all segments, with matches truncated at
-   segment boundaries (<=0.5% ratio cost).  No cross-segment state, no
-   associative scan, no gathers.
+   segment boundaries (<=0.5% ratio cost) and the reference's
+   offset-weighted lazy lookahead folded in as an elementwise pre-pass.
+   No cross-segment state, no associative scan, no gathers.
 5. **Emission** — ONE fused (value, nbits) column per position (a match's
    litlen code + length extra + offset code + offset extra is <= 31 bits
    for the static code), all codewords computed arithmetically in-register
