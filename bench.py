@@ -8,8 +8,8 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N,
    "ratio": R, "baseline_ratio": R}
 
-The benchmarked path is the TPU dynamic-Huffman two-pass compressor
-(the level-6 quality tier); vs_baseline compares against libdeflate -6
+The benchmarked path is the TPU dynamic-Huffman compressor (the level-6
+quality tier: single-pass 64K-segment matchfinding); vs_baseline compares against libdeflate -6
 single-core compress throughput measured live on the same corpus/host
 (reference built on demand under /tmp/refbuild, else a recorded
 constant).  ratio/baseline_ratio record compressed fraction of input so
@@ -115,7 +115,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     import libdeflate_tpu as ld
-    from libdeflate_tpu.compress.tpu_dynamic import compress_chunks_dynamic2
+    from libdeflate_tpu.compress.tpu_dynamic import compress_chunks_dynamic
     from libdeflate_tpu.compress.tpu_pipeline import device_stream_to_bytes
 
     corpus = make_corpus()
@@ -143,7 +143,7 @@ def main() -> None:
 
     # warmup / compile (note: host materialization is the only reliable sync
     # under the axon relay — block_until_ready returns early there)
-    w, t = compress_chunks_dynamic2(*batches[0])
+    w, t = compress_chunks_dynamic(*batches[0])
     _ = np.asarray(t)
 
     # best-of-3, matching the baseline measurement protocol
@@ -152,7 +152,7 @@ def main() -> None:
         t0 = time.perf_counter()
         outs = []
         for b in batches:
-            outs.append(compress_chunks_dynamic2(*b))
+            outs.append(compress_chunks_dynamic(*b))
         for _, t in outs:
             _ = np.asarray(t)
         dt = min(dt, time.perf_counter() - t0)

@@ -226,6 +226,17 @@ def _canonical_table(lens: jax.Array, nsym: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 # One sort -> histograms + per-position translation
 # ---------------------------------------------------------------------------
+def _sym_seg(n_pad: int) -> int:
+    """Segment size for the symbol sort: local positions must fit 15 bits
+    (the matchfinder now uses 64K segments with 16-bit positions, so the
+    two segmentations differ)."""
+    if n_pad <= 32768:
+        return n_pad
+    if n_pad % 32768 == 0:
+        return 32768
+    return n_pad // 2  # n_pad is an even 512-multiple below 64K
+
+
 def _sort_syms(sym: jax.Array, seg: int):
     """Segment sort of sym<<15|pos keys (combined 316-symbol alphabet).
     Returns (sorted keys [m,seg], per-row boundary starts [m, NSYM_ALL+1],
@@ -275,7 +286,8 @@ def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array,
     for ~17% more compress time (the levels >= 6 mode).  Same output
     contract as compress_chunk_static."""
     n = b.shape[0]
-    _, sort_seg, _ = _segment_sizes(n)
+    n_pad, _, _ = _segment_sizes(n)
+    sym_seg = _sym_seg(n_pad)
     bp, pos, commit_match, commit_lit, eff, dist = _parse_chunk(
         b, length, lazy=True, two_pass=two_pass, depth=depth, hash3=hash3
     )
@@ -298,7 +310,7 @@ def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array,
     )
 
     # ---- dynamic code tables -------------------------------------------------
-    sk, starts, hist = _sort_syms(sym, sort_seg)
+    sk, starts, hist = _sort_syms(sym, sym_seg)
     hist_lit = hist[:NSYM]
     hist_lit = hist_lit.at[256].add(1)                       # EOB
     hist_lit = hist_lit.at[0].add(jnp.where(hist_lit[0] == 0, 1, 0))
@@ -323,7 +335,7 @@ def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array,
     table = jnp.where(
         use_dyn, jnp.concatenate([t_lit, t_dist]), _T_STATIC_ALL
     )
-    code_at = _translate(sk, starts, table, sort_seg)
+    code_at = _translate(sk, starts, table, sym_seg)
 
     # ---- emission columns ------------------------------------------------------
     clen = (code_at & 15).astype(jnp.int32)

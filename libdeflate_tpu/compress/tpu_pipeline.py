@@ -60,7 +60,9 @@ import numpy as np
 MULT = 0x1E35A7BD
 HASH_ORDER = 15
 MIN_MATCH = 4
-SORT_SEG = 32768   # matchfinder segment (== DEFLATE max match offset)
+SORT_SEG = 65536   # matchfinder segment (2x window: avg 24K history 1-pass)
+POS_BITS = 16      # local-position field width in sort keys
+WINDOW = 32768     # DEFLATE max match offset
 FSM_SEG = 512      # greedy-commit segment (parse truncation boundary)
 MAX_LEN = 258
 
@@ -181,7 +183,7 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
     n = h.shape[0]
     m = n // seg
     lp = jax.lax.broadcasted_iota(jnp.uint32, (m, seg), 1)
-    key = (h.reshape(m, seg).astype(jnp.uint32) << jnp.uint32(15)) | lp
+    key = (h.reshape(m, seg).astype(jnp.uint32) << jnp.uint32(POS_BITS)) | lp
     deep = w8 is not None
     ops = (key, w.reshape(m, seg), w4.reshape(m, seg))
     if deep:
@@ -189,8 +191,8 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
     sorted_ops = jax.lax.sort(ops, num_keys=1, dimension=1)
     sk, sw, sw4 = sorted_ops[:3]
     sw8, sw12 = (sorted_ops[3], sorted_ops[4]) if deep else (None, None)
-    shash = sk >> jnp.uint32(15)
-    slp = sk & jnp.uint32(32767)
+    shash = sk >> jnp.uint32(POS_BITS)
+    slp = sk & jnp.uint32((1 << POS_BITS) - 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (m, seg), 1)
 
     def probe(d):
@@ -199,6 +201,9 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
             & (shash != jnp.uint32(1 << HASH_ORDER))
             & (col >= d)
         )
+        # segments are 2x the window, so candidates must be range-checked
+        dist = jnp.where(same, slp - jnp.roll(slp, d, axis=1), jnp.uint32(WINDOW + 1))
+        same = same & (dist <= WINDOW)
         eq4 = same & (sw == jnp.roll(sw, d, axis=1))
         eq8 = eq4 & (sw4 == jnp.roll(sw4, d, axis=1))
         mlen = eq4.astype(jnp.uint32) * 4 + eq8.astype(jnp.uint32) * 4
@@ -206,7 +211,7 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
             eq12 = eq8 & (sw8 == jnp.roll(sw8, d, axis=1))
             eq16 = eq12 & (sw12 == jnp.roll(sw12, d, axis=1))
             mlen = mlen + eq12.astype(jnp.uint32) * 4 + eq16.astype(jnp.uint32) * 4
-        dist = jnp.where(eq4, slp - jnp.roll(slp, d, axis=1), jnp.uint32(0))
+        dist = jnp.where(eq4, dist, jnp.uint32(0))
         return mlen, dist
 
     mlen, dist = probe(1)
@@ -365,10 +370,10 @@ def _hash3_matchfind(h3: jax.Array, words: jax.Array, seg: int):
     n = h3.shape[0]
     m = n // seg
     lp = jax.lax.broadcasted_iota(jnp.uint32, (m, seg), 1)
-    key = (h3.reshape(m, seg) << jnp.uint32(15)) | lp
+    key = (h3.reshape(m, seg) << jnp.uint32(POS_BITS)) | lp
     sk, sw = jax.lax.sort((key, words.reshape(m, seg)), num_keys=1, dimension=1)
-    shash = sk >> jnp.uint32(15)
-    slp = sk & jnp.uint32(32767)
+    shash = sk >> jnp.uint32(POS_BITS)
+    slp = sk & jnp.uint32((1 << POS_BITS) - 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (m, seg), 1)
     same = (
         (shash == jnp.roll(shash, 1, axis=1))

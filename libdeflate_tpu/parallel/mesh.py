@@ -41,8 +41,9 @@ def make_chunk_mesh(devices=None, axis_name: str = "chunks") -> Mesh:
 def _chunk_compressor(level: int):
     """Device chunk compressor ladder (the analogue of the reference's
     per-level impl table, lib/deflate_compress.c:3927-4013):
-    1 -> static-code greedy (fastest); 2-5 -> dynamic Huffman;
-    6-7 -> + two-pass matchfinder window; >= 8 -> + 4-deep probes."""
+    1 -> static-code greedy (fastest); 2-6 -> dynamic Huffman
+    (single-pass 64K-segment window, avg 24K history); 7 -> + full-window
+    rescue pass; >= 8 -> + 4-deep probes + len-3 matches."""
     if level <= 1:
         return compress_chunk_static
     from ..compress.tpu_dynamic import (
@@ -53,7 +54,7 @@ def _chunk_compressor(level: int):
 
     if level >= 8:
         return compress_chunk_dynamic3
-    return compress_chunk_dynamic2 if level >= 6 else compress_chunk_dynamic
+    return compress_chunk_dynamic2 if level >= 7 else compress_chunk_dynamic
 
 
 def _per_shard_compress(bufs, lengths, bfinal, *, compress_fn):
