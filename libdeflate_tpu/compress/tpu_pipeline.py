@@ -62,6 +62,10 @@ HASH_ORDER = 15
 MIN_MATCH = 4
 SORT_SEG = 65536   # matchfinder segment (2x window: avg 24K history 1-pass)
 POS_BITS = 16      # local-position field width in sort keys
+# with 17-bit positions the junk bucket collapses onto the top real hash
+# (15+17 = 32 bits exactly); safe: junk entries sort after all real
+# positions and matches at them are killed by the cap-<4 clamp
+JUNK_HASH = (1 << HASH_ORDER) - 1 if POS_BITS >= 17 else (1 << HASH_ORDER)
 WINDOW = 32768     # DEFLATE max match offset
 FSM_SEG = 512      # greedy-commit segment (parse truncation boundary)
 MAX_LEN = 258
@@ -198,7 +202,7 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
     def probe(d):
         same = (
             (shash == jnp.roll(shash, d, axis=1))
-            & (shash != jnp.uint32(1 << HASH_ORDER))
+            & (shash != jnp.uint32(JUNK_HASH))
             & (col >= d)
         )
         # segments are 2x the window, so candidates must be range-checked
@@ -377,7 +381,7 @@ def _hash3_matchfind(h3: jax.Array, words: jax.Array, seg: int):
     col = jax.lax.broadcasted_iota(jnp.int32, (m, seg), 1)
     same = (
         (shash == jnp.roll(shash, 1, axis=1))
-        & (shash != jnp.uint32(1 << HASH_ORDER))
+        & (shash != jnp.uint32(JUNK_HASH))
         & (col >= 1)
     )
     eq3 = same & (
@@ -414,13 +418,13 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
         jnp.uint32
     )
     # positions without 4 valid bytes go to a junk bucket no real hash hits
-    h = jnp.where(pos + MIN_MATCH <= length, h, jnp.uint32(1 << HASH_ORDER))
+    h = jnp.where(pos + MIN_MATCH <= length, h, jnp.uint32(JUNK_HASH))
 
     mlen_s, dist_s = _sorted_matchfind(h, words_u32, w4, w8, w12, sort_seg,
                                        depth=depth)
     if two_pass and sort_seg >= 2 * FSM_SEG:
         half = sort_seg // 2
-        junk = jnp.full(half, 1 << HASH_ORDER, jnp.uint32)
+        junk = jnp.full(half, JUNK_HASH, jnp.uint32)
         zpad = jnp.zeros(half, jnp.uint32)
         # the rescue pass only recovers matches pass 1 missed entirely, so a
         # shallower LCP cap (8 + chain extension) keeps it 2 payloads cheaper
@@ -446,7 +450,7 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
             ((words_u32 & jnp.uint32(0xFFFFFF)) * jnp.uint32(MULT))
             >> jnp.uint32(32 - HASH_ORDER)
         ).astype(jnp.uint32)
-        h3 = jnp.where(pos + 3 <= length, h3, jnp.uint32(1 << HASH_ORDER))
+        h3 = jnp.where(pos + 3 <= length, h3, jnp.uint32(JUNK_HASH))
         d3 = _hash3_matchfind(h3, words_u32, sort_seg)
         use3 = (mlen_s < MIN_MATCH) & (d3 > 0) & (cap >= 3)
         mlen_s = jnp.where(use3, 3, mlen_s)
