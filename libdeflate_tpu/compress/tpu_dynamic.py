@@ -226,15 +226,16 @@ def _canonical_table(lens: jax.Array, nsym: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 # One sort -> histograms + per-position translation
 # ---------------------------------------------------------------------------
+SYM_POS_BITS = 16  # sym (9 bits) + position (16) = 25 bits in a u32 key
+
+
 def _sym_seg(n_pad: int) -> int:
-    """Segment size for the symbol sort: local positions must fit 15 bits
-    (the matchfinder now uses 64K segments with 16-bit positions, so the
-    two segmentations differ)."""
-    if n_pad <= 32768:
+    """Segment size for the symbol sort (positions fit SYM_POS_BITS)."""
+    if n_pad <= 65536:
         return n_pad
-    if n_pad % 32768 == 0:
-        return 32768
-    return n_pad // 2  # n_pad is an even 512-multiple below 64K
+    if n_pad % 65536 == 0:
+        return 65536
+    return n_pad // 2
 
 
 def _sort_syms(sym: jax.Array, seg: int):
@@ -244,9 +245,9 @@ def _sort_syms(sym: jax.Array, seg: int):
     n = sym.shape[0]
     m = n // seg
     lp = jax.lax.broadcasted_iota(jnp.uint32, (m, seg), 1)
-    key = (sym.reshape(m, seg).astype(jnp.uint32) << jnp.uint32(15)) | lp
+    key = (sym.reshape(m, seg).astype(jnp.uint32) << jnp.uint32(SYM_POS_BITS)) | lp
     (sk,) = jax.lax.sort((key,), num_keys=1, dimension=1)
-    bounds = jnp.arange(NSYM_ALL + 1, dtype=jnp.uint32) << jnp.uint32(15)
+    bounds = jnp.arange(NSYM_ALL + 1, dtype=jnp.uint32) << jnp.uint32(SYM_POS_BITS)
     starts = jax.vmap(
         lambda row: jnp.searchsorted(row, bounds, side="left")
     )(sk).astype(jnp.int32)
@@ -269,7 +270,7 @@ def _translate(sk: jax.Array, starts: jax.Array, table: jax.Array, seg: int):
     ).reshape(m, seg)
     excl = jax.vmap(lambda row: _exclusive_bit_offsets(row)[0])(dvec)
     v_sorted = (excl + dvec).astype(jnp.uint32)
-    slp = sk & jnp.uint32(32767)
+    slp = sk & jnp.uint32((1 << SYM_POS_BITS) - 1)
     _, v = jax.lax.sort((slp, v_sorted), num_keys=1, dimension=1)
     return v.reshape(m * seg).astype(jnp.int32)
 
