@@ -366,7 +366,10 @@ def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array,
     offs, body_bits = _exclusive_bit_offsets(nb)
     offs = offs + hdr_bits_n
 
-    nwords = (MAX_CODE_LEN * n + 2 * HDR_BITS + 256 + 31) // 32
+    # the block-type choice guarantees emitted symbol bits <= the static
+    # cost, which is bounded by 9 bits/position, so the buffer (and the
+    # group scatter's target) sizes to 9n rather than the 11n code cap
+    nwords = (9 * n + 2 * HDR_BITS + 256 + 31) // 32
     words = _group_pack(val, nb, offs, nwords, capw=DYN_CAPW)
 
     # header words: dynamic (constant layout, 1338 bits) or static (3 bits)
