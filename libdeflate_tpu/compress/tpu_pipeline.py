@@ -388,7 +388,10 @@ def _hash3_matchfind(h3: jax.Array, words: jax.Array, seg: int):
         (sw & jnp.uint32(0xFFFFFF)) == (jnp.roll(sw, 1, axis=1) & jnp.uint32(0xFFFFFF))
     )
     dist = jnp.where(eq3, slp - jnp.roll(slp, 1, axis=1), jnp.uint32(0))
-    payload = jnp.where(eq3 & (dist <= 8192), dist, jnp.uint32(0))
+    # a len-3 match only beats 3 literals at short distances (small offset
+    # codes + extras); the reference applies the same kind of cutoff
+    # (lib/deflate_compress.c:2673-2675)
+    payload = jnp.where(eq3 & (dist <= 1024), dist, jnp.uint32(0))
     _, pay = jax.lax.sort((slp, payload), num_keys=1, dimension=1)
     return pay.reshape(n).astype(jnp.int32)
 

@@ -161,3 +161,33 @@ class TestDynamicBlocks:
         for i, p in enumerate(payloads):
             stream = tp.device_stream_to_bytes(words[i], totals[i])
             assert zlib.decompressobj(-15).decompress(stream) == p, i
+
+
+class TestRatioRegression:
+    def test_mixed_corpus_ratio_bounds(self, dyn, rng):
+        """Pin the compression quality floor on a fixed mixed mini-corpus so
+        parse/code changes cannot silently regress ratio."""
+        import zlib
+        from libdeflate_tpu.compress.tpu_dynamic import compress_chunks_dynamic
+        from libdeflate_tpu.compress.tpu_pipeline import compress_chunks_static
+
+        td, tp, jnp = dyn
+        n = 1 << 16
+        words = (b"alpha bravo charlie delta echo foxtrot golf hotel india "
+                 b"juliet kilo lima mike november oscar papa").split()
+        text = b" ".join(words[i] for i in rng.integers(0, len(words), 20000))[:n]
+        rec = rng.integers(0, 256, 64, np.uint8).tobytes() * (n // 64)
+        payloads = [text, rec, b"\x00" * n]
+        bufs, lens = make_chunks(payloads, n=n)
+        _, t_dyn = compress_chunks_dynamic(
+            jnp.asarray(bufs), jnp.asarray(lens), jnp.ones(3, bool)
+        )
+        sizes = (np.asarray(t_dyn) + 7) // 8
+        # bounds chosen ~10% above current measured sizes
+        assert sizes[0] < 0.43 * n, ("text", sizes[0])
+        assert sizes[1] < 0.02 * n, ("records", sizes[1])
+        assert sizes[2] < 600, ("zeros", sizes[2])
+        _, t_sta = compress_chunks_static(
+            jnp.asarray(bufs), jnp.asarray(lens), jnp.ones(3, bool)
+        )
+        assert (np.asarray(t_dyn) <= np.asarray(t_sta) + 16).all()
