@@ -279,7 +279,7 @@ def _translate(sk: jax.Array, starts: jax.Array, table: jax.Array, seg: int):
 # Main entry
 # ---------------------------------------------------------------------------
 def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array,
-                           two_pass: bool = False, depth: int = 2,
+                           two_pass: bool = False, depth: int = 6,
                            hash3: bool = False):
     """Compress one chunk into a byte-aligned raw-DEFLATE fragment using
     per-chunk dynamic litlen + distance codes (static block selected per
@@ -422,9 +422,9 @@ def compress_chunk_dynamic2(b, length, bfinal):
 
 
 def compress_chunk_dynamic3(b, length, bfinal):
-    """Two-pass window + 4-deep probes + len-3 matches (levels >= 8)."""
+    """Two-pass window + 12-deep probes + len-3 matches (levels >= 8)."""
     return compress_chunk_dynamic(
-        b, length, bfinal, two_pass=True, depth=4, hash3=True
+        b, length, bfinal, two_pass=True, depth=12, hash3=True
     )
 
 
