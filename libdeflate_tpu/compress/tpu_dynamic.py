@@ -63,9 +63,8 @@ NSYM_ALL = NSYM + NDIST
 DONT_CARE = NSYM_ALL  # sorts after every real symbol
 MAX_CODE_LEN = 11     # keeps emission slots 32-bit; Kraft budget 2^11
 KRAFT = 1 << MAX_CODE_LEN
-# worst group: 8 span-4 matches = 8*(16+24) = 320 bits, or 32 literals
-# * 11 = 352 bits -> 11 words + carry
-DYN_CAPW = 12
+# worst group: 64 literals * 11 bits = 704 bits -> 22 words + carry
+DYN_CAPW = 23
 
 # ---------------------------------------------------------------------------
 # Constant tables (numpy, built once at import)
