@@ -63,8 +63,8 @@ NSYM_ALL = NSYM + NDIST
 DONT_CARE = NSYM_ALL  # sorts after every real symbol
 MAX_CODE_LEN = 11     # keeps emission slots 32-bit; Kraft budget 2^11
 KRAFT = 1 << MAX_CODE_LEN
-# worst group: 64 literals * 11 bits = 704 bits -> 22 words + carry
-DYN_CAPW = 23
+# worst group: 128 literals * 11 bits = 1408 bits -> 44 words + carry
+DYN_CAPW = 45
 
 # ---------------------------------------------------------------------------
 # Constant tables (numpy, built once at import)

@@ -305,8 +305,8 @@ def _exclusive_bit_offsets(nb: jax.Array):
     return offs, total
 
 
-_GROUP = 64
-_GROUP_CAPW = 19  # 64 positions * <=9 bits = 576 bits -> 18 words + carry
+_GROUP = 128
+_GROUP_CAPW = 37  # 128 positions * <=9 bits = 1152 bits -> 36 words + carry
 
 
 def _group_pack(values: jax.Array, nbits: jax.Array, offs: jax.Array,
