@@ -106,7 +106,7 @@ def advance(crc_reg, nbytes: int):
 # contribution of bit k of the byte at position p within a CRC_BLOCK-byte
 # block (the whole intra-block reduction collapses into ONE GF(2) mat-vec,
 # done on the MXU as an exact f32 matmul followed by mod-2).
-CRC_BLOCK = 512
+CRC_BLOCK = 2048
 
 
 def _make_block_bits_matrix(k_bytes: int = CRC_BLOCK) -> np.ndarray:
