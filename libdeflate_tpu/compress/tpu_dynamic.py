@@ -130,7 +130,7 @@ def _bsr_i32(x):
     return 31 - jax.lax.clz(jnp.maximum(x.astype(jnp.int32), 1))
 
 
-def _build_code_lens(hist: jax.Array, nsym: int):
+def _build_code_lens(hist: jax.Array, nsym: int, refine_passes: int = 0):
     """Kraft-exact length assignment, lens in [0..MAX_CODE_LEN].
 
     Returns (lens int32[nsym], ok bool); `ok` False means the completion
@@ -195,6 +195,35 @@ def _build_code_lens(hist: jax.Array, nsym: int):
         fix, (k, jnp.int32(KRAFT) - jnp.sum(k)), None, length=48
     )
     lens = jnp.where(k > 0, MAX_CODE_LEN - _bsr_i32(jnp.maximum(k, 1)), 0)
+
+    # budget-neutral refinement toward the optimal code: shortening the
+    # most frequent symbol at level l while lengthening the least frequent
+    # at level l-1 keeps the Kraft sum exact and saves hist[a]-hist[b] bits
+    # per pass (closes ~0.5% residual vs package-merge)
+    def refine(lens, _):
+        def level_step(lens, l):
+            at_l = used & (lens == l)
+            at_lm1 = used & (lens == l - 1) & (l - 1 >= 1)
+            ha = jnp.where(at_l, hist, -1)
+            hb = jnp.where(at_lm1, hist, 1 << 30)
+            a = jnp.argmax(ha)
+            b = jnp.argmin(hb)
+            good = (
+                jnp.any(at_l) & jnp.any(at_lm1) & (hist[a] > hist[b]) & (l >= 2)
+            )
+            sym_i = jnp.arange(NSYM if lens.shape[0] == NSYM else lens.shape[0])
+            lens = jnp.where(
+                good & (sym_i == a), lens - 1,
+                jnp.where(good & (sym_i == b), lens + 1, lens),
+            )
+            return lens, None
+        lens, _ = jax.lax.scan(
+            level_step, lens, jnp.arange(2, MAX_CODE_LEN + 1)
+        )
+        return lens, None
+
+    if refine_passes:
+        lens, _ = jax.lax.scan(refine, lens, None, length=refine_passes)
     n_used = jnp.sum(used.astype(jnp.int32))
     return lens.astype(jnp.int32), (r == 0) & (n_used >= 2)
 
@@ -318,8 +347,9 @@ def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array,
     hist_dist = hist_dist.at[0].add(jnp.where(hist_dist[0] == 0, 1, 0))
     hist_dist = hist_dist.at[1].add(jnp.where(hist_dist[1] == 0, 1, 0))
 
-    lit_lens, ok_l = _build_code_lens(hist_lit, NSYM)
-    dist_lens, ok_d = _build_code_lens(hist_dist, NDIST)
+    refine_passes = 16 if (two_pass or hash3) else 0  # quality tiers only
+    lit_lens, ok_l = _build_code_lens(hist_lit, NSYM, refine_passes)
+    dist_lens, ok_d = _build_code_lens(hist_dist, NDIST, refine_passes)
     t_lit = _canonical_table(lit_lens, NSYM)
     t_dist = _canonical_table(dist_lens, NDIST)
 
