@@ -179,11 +179,12 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
                       depth: int = 2):
     """Nearest (and second-nearest) previous same-hash candidates per
     position via ONE batched segment sort carrying the position's own 16
-    bytes as payloads; LCP<=16 computed by neighbor compares in sorted
-    order; a second payload sort keyed on local position un-permutes.
-    Plays the role of the 2-entry-bucket probe + lz_extend of
-    ht_matchfinder (lib/ht_matchfinder.h:77-195).  Returns (mlen<=16,
-    dist)."""
+    bytes as payloads; the LCP is byte-exact up to 19: word-granular
+    compares plus the trailing-equal-byte count of the first unequal
+    word's XOR.  A second payload sort keyed on local position
+    un-permutes.  Plays the role of the 2-entry-bucket probe + lz_extend
+    of ht_matchfinder (lib/ht_matchfinder.h:77-195).  Returns (mlen,
+    dist) with chain extension applied."""
     n = h.shape[0]
     m = n // seg
     lp = jax.lax.broadcasted_iota(jnp.uint32, (m, seg), 1)
@@ -199,6 +200,17 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
     slp = sk & jnp.uint32((1 << POS_BITS) - 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (m, seg), 1)
 
+    def tz_bytes(x):
+        return jnp.where(
+            (x & jnp.uint32(0xFF)) != 0,
+            jnp.uint32(0),
+            jnp.where(
+                (x & jnp.uint32(0xFFFF)) != 0,
+                jnp.uint32(1),
+                jnp.where((x & jnp.uint32(0xFFFFFF)) != 0, jnp.uint32(2), jnp.uint32(3)),
+            ),
+        )
+
     def probe(d):
         same = (
             (shash == jnp.roll(shash, d, axis=1))
@@ -208,46 +220,63 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
         # segments are 2x the window, so candidates must be range-checked
         dist = jnp.where(same, slp - jnp.roll(slp, d, axis=1), jnp.uint32(WINDOW + 1))
         same = same & (dist <= WINDOW)
-        eq4 = same & (sw == jnp.roll(sw, d, axis=1))
-        eq8 = eq4 & (sw4 == jnp.roll(sw4, d, axis=1))
+        x0 = sw ^ jnp.roll(sw, d, axis=1)
+        x1 = sw4 ^ jnp.roll(sw4, d, axis=1)
+        eq4 = same & (x0 == 0)
+        eq8 = eq4 & (x1 == 0)
         mlen = eq4.astype(jnp.uint32) * 4 + eq8.astype(jnp.uint32) * 4
         if deep:
-            eq12 = eq8 & (sw8 == jnp.roll(sw8, d, axis=1))
-            eq16 = eq12 & (sw12 == jnp.roll(sw12, d, axis=1))
+            x2 = sw8 ^ jnp.roll(sw8, d, axis=1)
+            x3 = sw12 ^ jnp.roll(sw12, d, axis=1)
+            eq12 = eq8 & (x2 == 0)
+            eq16 = eq12 & (x3 == 0)
             mlen = mlen + eq12.astype(jnp.uint32) * 4 + eq16.astype(jnp.uint32) * 4
+            # byte remainder from the first unequal word (0 at full LCP-16)
+            x_sel = jnp.where(~eq8, x1, jnp.where(~eq12, x2, jnp.where(~eq16, x3, 0)))
+        else:
+            x_sel = jnp.where(~eq8, x1, 0)
+        fine = jnp.where((x_sel != 0) & eq4, tz_bytes(x_sel), jnp.uint32(0))
         dist = jnp.where(eq4, dist, jnp.uint32(0))
-        return mlen, dist
+        return mlen, dist, fine
 
-    mlen, dist = probe(1)
+    mlen, dist, fine = probe(1)
     for d in range(2, depth + 1):
-        m2, d2 = probe(d)
-        better = m2 > mlen           # ties keep the nearer candidate
+        m2, d2, f2 = probe(d)
+        better = (m2 > mlen) | ((m2 == mlen) & (f2 > fine))
         mlen = jnp.where(better, m2, mlen)
         dist = jnp.where(better, d2, dist)
+        fine = jnp.where(better, f2, fine)
 
-    payload = (mlen << jnp.uint32(16)) | dist
+    payload = (mlen << jnp.uint32(18)) | (fine << jnp.uint32(16)) | dist
     _, pay = jax.lax.sort((slp, payload), num_keys=1, dimension=1)
     pay = pay.reshape(n)
-    mlen16 = (pay >> jnp.uint32(16)).astype(jnp.int32)
+    mlen16 = (pay >> jnp.uint32(18)).astype(jnp.int32)
+    fine16 = ((pay >> jnp.uint32(16)) & jnp.uint32(3)).astype(jnp.int32)
     dist16 = (pay & jnp.uint32(0xFFFF)).astype(jnp.int32)
-    return _chain_extend(mlen16, dist16)
+    return _chain_extend(mlen16, dist16, fine16)
 
 
-def _chain_extend(mlen: jax.Array, dist: jax.Array):
-    """Extend 8-byte-capped matches to MAX_LEN by stride-8 log-doubling:
+def _chain_extend(mlen: jax.Array, dist: jax.Array, fine: jax.Array):
+    """Extend word-granular matches to MAX_LEN by stride-8 log-doubling:
     if lcp(i, i-d) >= 8 and position i+8's candidate has the SAME d, then
     lcp(i, i-d) = 8 + lcp(i+8, i+8-d) exactly.  Six shift/select passes
     replace the reference's byte-serial lz_extend for long matches
-    (lib/matchfinder_common.h:178-222)."""
-    n = mlen.shape[0]
+    (lib/matchfinder_common.h:178-222).  The byte-exact remainder `fine`
+    (trailing equal bytes past the last equal word) rides the same
+    doubling so the TERMINAL link's remainder survives: whenever a chain
+    step splices in the downstream match, it also adopts its remainder."""
     r = mlen
+    f = fine
     s = 8
     while s < MAX_LEN:
         r_s = jnp.concatenate([r[s:], jnp.zeros(s, jnp.int32)])
         d_s = jnp.concatenate([dist[s:], jnp.zeros(s, jnp.int32)])
-        r = r + jnp.where((r == s) & (d_s == dist), r_s, 0)
+        f_s = jnp.concatenate([f[s:], jnp.zeros(s, jnp.int32)])
+        take = (r == s) & (d_s == dist)
+        r = r + jnp.where(take, r_s, 0)
+        f = jnp.where(take, f_s, f)
         s *= 2
-    return jnp.minimum(r, MAX_LEN), dist
+    return jnp.minimum(r + jnp.where(r >= 4, f, 0), MAX_LEN), dist
 
 
 def _greedy_commit(span: jax.Array, is_match: jax.Array, seg: int):
