@@ -23,14 +23,18 @@ _tried = False
 
 
 def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC],
-            check=True, capture_output=True, timeout=300,
-        )
-        return True
-    except Exception:
-        return False
+    # -march=native matters for the decoder's shift-heavy bit cursor (SHRX
+    # etc. — the analogue of the reference's BMI2 decode variant, measured
+    # +12% on text-like data); fall back to the portable build if the local
+    # toolchain rejects it.
+    base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC]
+    for cmd in (base[:2] + ["-march=native"] + base[2:], base):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def get_lib():

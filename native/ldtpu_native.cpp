@@ -937,96 +937,179 @@ extern "C" size_t ld_deflate_compress(int level, const u8* in, size_t n,
 }
 
 // ---------------------------------------------------------------------------
-// Decompressor (packed-entry tables, same layout as the Python/JAX decoder)
+// Decompressor.  Decode-table entries fold the whole per-symbol bit cost
+// (codeword + extra bits) into the low byte so the hot loop advances the
+// cursor with one subtract, and bake length/offset BASES (not slots) into
+// the payload so no secondary table lookups happen per symbol.  This
+// re-derives the packed-entry idea of the reference decoder
+// (lib/deflate_decompress.c:437-503) with our own layout:
+//   bit 31       literal flag (sign test)
+//   literal entries (bit 31 set; the serial bit-cursor chain is the decode
+//   speed limit, so main-table entries whose window proves TWO short literal
+//   codes carry both and one lookup emits two bytes):
+//     bit 30       second literal present
+//     bits 16..23  second literal value
+//     bits 8..15   first literal value
+//     bits 0..7    total bits consumed (both codewords)
+//   non-literal entries:
+//     bits 16..30  payload: length base | offset base | precode symbol |
+//                  subtable start | 1 for invalid-symbol entries
+//     bit 15       exceptional (end-of-block, invalid, or subtable pointer)
+//     bit 14       subtable pointer (implies bit 15)
+//     bits 8..11   codeword length (subtable pointers: subtable index width)
+//     bits 0..7    total bits consumed by the symbol (codeword + extra)
 // ---------------------------------------------------------------------------
-enum { KIND_LITERAL = 0, KIND_MATCH = 1, KIND_EOB = 2, KIND_SUB = 3 };
-static inline u32 pk(u32 kind, u32 payload, u32 extra, u32 consume) {
-    return (kind << 30) | (payload << 16) | (extra << 8) | consume;
-}
+enum : u32 {
+    E_LIT = 1u << 31,
+    E_LIT2 = 1u << 30,
+    E_EXC = 1u << 15,
+    E_SUB = (1u << 15) | (1u << 14),
+};
+
+#ifndef LITLEN_TB
+#define LITLEN_TB 11
+#endif
+static constexpr unsigned LTB = LITLEN_TB;           // litlen main-table bits
+static constexpr unsigned LENOUGH = (1u << LTB) + 2342;
 
 struct DecTables {
-    u32 litlen[2342];
+    u32 litlen[LENOUGH];
     u32 off[402];
     u32 pre[128];
 };
 
-// build a packed decode table; returns false on invalid code
+static inline u32 dec_entry(int role, int sym, u32 l) {
+    // role 0=precode (payload = symbol), 1=litlen, 2=offset
+    u32 tail = (l << 8) | l;
+    if (role == 0) return ((u32)sym << 16) | tail;
+    if (role == 1) {
+        if (sym < 256) return E_LIT | ((u32)sym << 8) | l;
+        if (sym == 256) return E_EXC | tail;  // end of block (payload 0)
+        if (sym <= 285) {
+            u32 eb = LEN_EXTRA[sym - 257];
+            return ((u32)LEN_BASE[sym - 257] << 16) | (l << 8) | (l + eb);
+        }
+        return E_EXC | (1u << 16) | tail;  // reserved litlen 286/287
+    }
+    if (sym < 30) {
+        u32 eb = OFF_EXTRA[sym];
+        return ((u32)OFF_BASE[sym] << 16) | (l << 8) | (l + eb);
+    }
+    return E_EXC | (1u << 16) | tail;  // reserved offset 30/31
+}
+
+// base + extra bits, extracted from the bit window saved BEFORE consuming
+static inline u32 dec_value(u32 e, u64 saved) {
+    u32 cl = (e >> 8) & 0xF;
+    return ((e >> 16) & 0x7FFF) +
+           ((u32)(saved >> cl) & ((1u << ((e & 0xFF) - cl)) - 1));
+}
+
+// build a packed decode table; returns false on invalid code.  O(nsyms +
+// table size): counting-sort canonical order; codewords sharing a subtable
+// prefix are contiguous in that order (reversed high bits of an increasing
+// code are non-decreasing), so each subtable is one run whose width is the
+// run's last (longest) codeword.
 static bool build_table(const u8* lens, int nsyms, int table_bits, u32* table,
-                        int enough, int max_len, int role /*0=pre,1=litlen,2=off*/) {
+                        int enough, int role) {
     int cnt[16] = {0};
     for (int i = 0; i < nsyms; i++) cnt[lens[i]]++;
     long space = 0;
-    for (int l = 1; l <= max_len; l++) space = (space << 1) + cnt[l];
-    long full = 1L << max_len;
-    auto results = [&](int sym) -> u32 {
-        if (role == 0) return pk(KIND_MATCH, sym, 0, 0);
-        if (role == 1) {
-            if (sym < 256) return pk(KIND_LITERAL, sym, 0, 0);
-            if (sym == 256) return pk(KIND_EOB, 0, 0, 0);
-            if (sym <= 285) return pk(KIND_MATCH, LEN_BASE[sym - 257], LEN_EXTRA[sym - 257], 0);
-            return pk(KIND_EOB, 1, 0, 0);
+    for (int l = 1; l <= 15; l++) space += (long)cnt[l] << (15 - l);
+    if (space > (1L << 15)) return false;  // overfull
+    if (space < (1L << 15)) {
+        // Incomplete code: accept the two zlib-compatible cases (empty code,
+        // or one codeword of length 1) by mapping to a complete 1-bit code
+        // on a single symbol — the reference does the same
+        // (lib/deflate_decompress.c:803-853).
+        int sym = 0;
+        if (space != 0) {
+            if (space != (1L << 14) || cnt[1] != 1) return false;
+            while (lens[sym] != 1) sym++;
         }
-        if (sym < 30) return pk(KIND_MATCH, sym, OFF_EXTRA[sym], 0);
-        return pk(KIND_EOB, 1, 0, 0);
-    };
-    if (space > full) return false;
-    if (space < full) {
-        int sym;
-        if (space == 0) sym = 0;
-        else {
-            if (space != (full >> 1) || cnt[1] != 1) return false;
-            sym = 0; while (lens[sym] != 1) sym++;
-        }
-        u32 e = results(sym) | 1;
+        u32 e = dec_entry(role, sym, 1);
         for (int i = 0; i < (1 << table_bits); i++) table[i] = e;
         return true;
     }
-    // canonical codes
-    u32 next_code[16]; u32 code = 0;
-    int bl[16] = {0};
-    for (int i = 0; i < nsyms; i++) bl[lens[i]]++;
-    bl[0] = 0;
-    for (int l = 1; l <= 15; l++) { code = (code + bl[l-1]) << 1; next_code[l] = code; }
-    // canonical order traversal
-    std::vector<std::pair<int,int>> order;  // (len, sym)
-    order.reserve(nsyms);
-    for (int i = 0; i < nsyms; i++) if (lens[i]) order.push_back({lens[i], i});
-    std::sort(order.begin(), order.end());
-    int cur_sub = 1 << table_bits, sub_prefix = -1, sub_start = 0, sub_bits = 0;
-    for (size_t oi = 0; oi < order.size(); oi++) {
-        int l = order[oi].first, sym = order[oi].second;
-        u32 rc = rev_bits(next_code[l]++, l);
+    // canonical order via counting sort
+    u16 sorted[288];
+    int offs[17];
+    offs[1] = 0;
+    for (int l = 1; l <= 15; l++) offs[l + 1] = offs[l] + cnt[l];
+    int nused = offs[16];
+    for (int i = 0; i < nsyms; i++)
+        if (lens[i]) sorted[offs[lens[i]]++] = (u16)i;
+
+    u32 mask = (1u << table_bits) - 1;
+    // stash of codewords longer than table_bits, in canonical order
+    u16 s_rc[288]; u8 s_len[288]; u16 s_sym[288];
+    int nstash = 0;
+    u32 code = 0;
+    int prev_len = 1;
+    for (int oi = 0; oi < nused; oi++) {
+        int sym = sorted[oi];
+        int l = lens[sym];
+        code <<= (l - prev_len);
+        prev_len = l;
+        u32 rc = rev_bits(code, l);
+        code++;
         if (l <= table_bits) {
-            for (u32 idx = rc; idx < (1u << table_bits); idx += (1u << l))
-                table[idx] = results(sym) | l;
+            u32 e = dec_entry(role, sym, l);
+            for (u32 idx = rc; idx <= mask; idx += (1u << l)) table[idx] = e;
         } else {
-            int prefix = rc & ((1 << table_bits) - 1);
-            if (prefix != sub_prefix) {
-                sub_prefix = prefix;
-                // subtable width: longest codeword sharing this prefix
-                int maxl = l;
-                // scan forward over remaining canonical symbols to find the
-                // longest codeword sharing this prefix (simulated assignment)
-                {
-                    u32 saved_nc[16]; memcpy(saved_nc, next_code, sizeof(saved_nc));
-                    for (size_t oj = oi + 1; oj < order.size(); oj++) {
-                        int l2 = order[oj].first;
-                        u32 rc2 = rev_bits(saved_nc[l2]++, l2);
-                        if ((int)(rc2 & ((1 << table_bits) - 1)) == prefix) maxl = l2;
-                    }
-                }
-                sub_bits = maxl - table_bits;
-                sub_start = cur_sub;
-                cur_sub += 1 << sub_bits;
-                if (cur_sub > enough) return false;
-                table[prefix] = pk(KIND_SUB, sub_start, sub_bits, table_bits);
-            }
-            u32 hi = rc >> table_bits;
-            for (u32 idx = hi; idx < (1u << sub_bits); idx += (1u << (l - table_bits)))
-                table[sub_start + idx] = results(sym) | l;
+            s_rc[nstash] = (u16)rc;
+            s_len[nstash] = (u8)l;
+            s_sym[nstash] = (u16)sym;
+            nstash++;
+        }
+    }
+    int cur_sub = 1 << table_bits;
+    int i = 0;
+    while (i < nstash) {
+        u32 prefix = s_rc[i] & mask;
+        int j = i;
+        while (j < nstash && (s_rc[j] & mask) == prefix) j++;
+        u32 sub_bits = (u32)s_len[j - 1] - table_bits;  // run's longest code
+        int sub_start = cur_sub;
+        cur_sub += 1 << sub_bits;
+        if (cur_sub > enough) return false;
+        table[prefix] = E_SUB | ((u32)sub_start << 16) | (sub_bits << 8);
+        for (; i < j; i++) {
+            u32 e = dec_entry(role, s_sym[i], s_len[i]);
+            u32 hi = s_rc[i] >> table_bits;
+            for (u32 idx = hi; idx < (1u << sub_bits);
+                 idx += (1u << (s_len[i] - table_bits)))
+                table[sub_start + idx] = e;
+        }
+    }
+    // litlen pairing pass: where a main-table window fully determines two
+    // literal codewords, fold both into the entry (one load, two bytes out)
+    if (role == 1) {
+        u32 tsize = 1u << table_bits;
+        u32 snap[1u << LTB];
+        memcpy(snap, table, tsize * sizeof(u32));
+        for (u32 idx = 0; idx < tsize; idx++) {
+            u32 e1 = snap[idx];
+            u32 l1 = e1 & 0xFF;
+            if (!(e1 & E_LIT) || l1 >= (u32)table_bits) continue;
+            u32 e2 = snap[idx >> l1];
+            if (!(e2 & E_LIT) || l1 + (e2 & 0xFF) > (u32)table_bits) continue;
+            table[idx] = E_LIT | E_LIT2 | ((e2 & 0xFF00) << 8) |
+                         (e1 & 0xFF00) | (l1 + (e2 & 0xFF));
         }
     }
     return true;
+}
+
+// main-table lookup with subtable resolution (tb = main table index width)
+static inline u32 dec_lookup(const u32* T, unsigned tb, u64 buf) {
+    u32 e = T[(u32)buf & ((1u << tb) - 1)];
+    // literal entries reuse bits 14/15 for the value, so require bit31 clear
+    if (__builtin_expect((e & (E_LIT | E_SUB)) == E_SUB, 0)) {
+        u32 sb = (e >> 8) & 0xF;
+        e = T[((e >> 16) & 0x7FFF) + (((u32)buf >> tb) & ((1u << sb) - 1))];
+    }
+    return e;
 }
 
 struct BitReader {
@@ -1090,10 +1173,18 @@ extern "C" int ld_deflate_decompress(const u8* in, size_t n, u8* out,
             continue;
         }
         if (btype == 1) {
-            for (int i = 0; i < 288; i++) s_ll[i] = (i < 144) ? 8 : (i < 256) ? 9 : (i < 280) ? 7 : 8;
-            for (int i = 0; i < 32; i++) s_of[i] = 5;
-            if (!build_table(s_ll, 288, 11, T.litlen, 2342, 15, 1)) return 1;
-            if (!build_table(s_of, 32, 8, T.off, 402, 15, 2)) return 1;
+            // static tables: build once per thread, then memcpy-restore
+            static thread_local DecTables S;
+            static thread_local bool s_loaded = false;
+            if (!s_loaded) {
+                for (int i = 0; i < 288; i++) s_ll[i] = (i < 144) ? 8 : (i < 256) ? 9 : (i < 280) ? 7 : 8;
+                for (int i = 0; i < 32; i++) s_of[i] = 5;
+                if (!build_table(s_ll, 288, LTB, S.litlen, LENOUGH, 1)) return 1;
+                if (!build_table(s_of, 32, 8, S.off, 402, 2)) return 1;
+                s_loaded = true;
+            }
+            memcpy(T.litlen, S.litlen, sizeof(S.litlen));
+            memcpy(T.off, S.off, sizeof(S.off));
         } else if (btype == 2) {
             if (!br.refill()) return 1;
             u32 num_ll = 257 + br.pop(5);
@@ -1104,14 +1195,14 @@ extern "C" int ld_deflate_decompress(const u8* in, size_t n, u8* out,
                 if (!br.refill()) return 1;
                 pre_lens[PRECODE_PERM[i]] = (u8)br.pop(3);
             }
-            if (!build_table(pre_lens, 19, 7, T.pre, 128, 7, 0)) return 1;
+            if (!build_table(pre_lens, 19, 7, T.pre, 128, 0)) return 1;
             u8 lens[288 + 32 + 138] = {0};
             u32 i = 0, total = num_ll + num_of;
             while (i < total) {
                 if (!br.refill()) return 1;
                 u32 e = T.pre[br.peek(7)];
                 br.consume(e & 0xFF);
-                u32 sym = (e >> 16) & 0x3FFF;
+                u32 sym = (e >> 16) & 0x7FFF;
                 if (sym < 16) { lens[i++] = (u8)sym; continue; }
                 u32 rep;
                 u8 val = 0;
@@ -1125,54 +1216,76 @@ extern "C" int ld_deflate_decompress(const u8* in, size_t n, u8* out,
                 for (u32 r = 0; r < rep; r++) lens[i + r] = val;
                 i += rep;
             }
-            if (!build_table(lens, num_ll, 11, T.litlen, 2342, 15, 1)) return 1;
-            if (!build_table(lens + num_ll, num_of, 8, T.off, 402, 15, 2)) return 1;
+            if (!build_table(lens, num_ll, LTB, T.litlen, LENOUGH, 1)) return 1;
+            if (!build_table(lens + num_ll, num_of, 8, T.off, 402, 2)) return 1;
         } else return 1;
 
-        // fastloop: bounds hoisted to the loop condition (16 input bytes of
-        // slack = up to two branchless refills per iteration; 272 output
-        // bytes = max match + 8-byte overcopy margin).  Each refill feeds a
-        // burst of up to 3 literals (15-bit worst-case codes), then one
-        // match if the burst ended on a non-literal.
+        // fastloop: bounds hoisted to the loop condition.  Input slack 16
+        // bytes = two branchless refills per iteration.  Output slack 272
+        // bytes = at most 3 literals + a 258-byte match rounded up to the
+        // 8-byte copy unit (264), plus the 32-byte unconditional splash
+        // which stays under dst+32 <= op+3+32.  Per refill (>=56 bits) the
+        // burst is capped at three literals (<=45 bits at the 15-bit max
+        // code), leaving >=11 bits for the next main-table probe and >=26
+        // for a full length code + extra after <=2 literals.
         bool eob = false;
         while (br.pos + 16 <= n && op + 272 <= out_avail) {
             br.refill_fast();
-            u32 e;
-            bool starved = false;
-            for (;;) {
-                e = T.litlen[br.peek(11)];
-                if ((e >> 30) == KIND_SUB)
-                    e = T.litlen[((e >> 16) & 0x3FFF) + (br.peek(11 + ((e >> 8) & 0xFF)) >> 11)];
+            u32 e = dec_lookup(T.litlen, LTB, br.buf);
+            if (e & E_LIT) {
+                // pair emit via predicted branch: keeps the store addresses
+                // off the entry-load dependency chain
                 br.consume(e & 0xFF);
-                if ((e >> 30) != KIND_LITERAL) break;
-                out[op++] = (u8)((e >> 16) & 0x3FFF);
-                if (br.cnt < 15) { starved = true; break; }
+                out[op] = (u8)(e >> 8);
+                out[op + 1] = (u8)(e >> 16);
+                op += 1 + ((e >> 30) & 1);
+                e = dec_lookup(T.litlen, LTB, br.buf);
+                if (e & E_LIT) {
+                    br.consume(e & 0xFF);
+                    out[op] = (u8)(e >> 8);
+                    out[op + 1] = (u8)(e >> 16);
+                    op += 1 + ((e >> 30) & 1);
+                    e = dec_lookup(T.litlen, LTB, br.buf);
+                    if (e & E_LIT) {
+                        br.consume(e & 0xFF);
+                        out[op] = (u8)(e >> 8);
+                        out[op + 1] = (u8)(e >> 16);
+                        op += 1 + ((e >> 30) & 1);
+                        continue;  // refill before a fourth probe
+                    }
+                }
             }
-            if (starved) continue;
-            u32 kind = e >> 30;
-            u32 payload = (e >> 16) & 0x3FFF;
-            if (kind == KIND_EOB) {
-                if (payload) return 1;
+            if (__builtin_expect(e & E_EXC, 0)) {
+                br.consume(e & 0xFF);
+                if ((e >> 16) & 0x7FFF) return 1;
                 eob = true;
                 break;
             }
-            // one extra refill keeps the whole match tail (<= 33 bits)
-            // in-buffer; safe: at most the second refill this iteration
-            if (br.cnt < 33) br.refill_fast();
-            u32 len = payload + br.pop((e >> 8) & 0xFF);
-            u32 oe = T.off[br.peek(8)];
-            if ((oe >> 30) == KIND_SUB)
-                oe = T.off[((oe >> 16) & 0x3FFF) + (br.peek(8 + ((oe >> 8) & 0xFF)) >> 8)];
+            u64 saved = br.buf;
+            br.consume(e & 0xFF);
+            u32 len = dec_value(e, saved);
+            br.refill_fast();  // offset code + extra is <= 28 more bits
+            u32 oe = dec_lookup(T.off, 8, br.buf);
+            if (__builtin_expect(oe & E_EXC, 0)) return 1;
+            saved = br.buf;
             br.consume(oe & 0xFF);
-            if ((oe >> 30) != KIND_MATCH) return 1;
-            u32 off = OFF_BASE[(oe >> 16) & 0x3FFF] + br.pop((oe >> 8) & 0xFF);
+            u32 off = dec_value(oe, saved);
             if (off > op) return 1;
             const u8* src = out + op - off;
             u8* dst = out + op;
             op += len;
             if (off >= 8) {
-                u8* end = dst + len;
-                do { memcpy(dst, src, 8); dst += 8; src += 8; } while (dst < end);
+                // most matches are short: 32 bytes unconditionally, then a
+                // word loop for the tail only
+                memcpy(dst, src, 8);
+                memcpy(dst + 8, src + 8, 8);
+                memcpy(dst + 16, src + 16, 8);
+                memcpy(dst + 24, src + 24, 8);
+                if (len > 32) {
+                    dst += 32; src += 32;
+                    u8* end = out + op;
+                    do { memcpy(dst, src, 8); dst += 8; src += 8; } while (dst < end);
+                }
             } else if (off == 1) {
                 memset(dst, *src, len);
             } else {
@@ -1186,33 +1299,35 @@ extern "C" int ld_deflate_decompress(const u8* in, size_t n, u8* out,
         }
         if (eob) continue;  // next block (or exit on is_final)
 
-        // careful symbol loop (near input/output ends)
+        // careful symbol loop (near input/output ends).  One refill
+        // (>=57 bits) covers a full litlen code+extra (<=20) plus a full
+        // offset code+extra (<=28).
         for (;;) {
             if (!br.refill()) return 1;
-            u32 e = T.litlen[br.peek(11)];
-            if ((e >> 30) == KIND_SUB)
-                e = T.litlen[((e >> 16) & 0x3FFF) + ((br.peek(11 + ((e >> 8) & 0xFF)) >> 11))];
-            br.consume(e & 0xFF);
-            u32 kind = e >> 30;
-            u32 payload = (e >> 16) & 0x3FFF;
-            if (kind == KIND_LITERAL) {
+            u32 e = dec_lookup(T.litlen, LTB, br.buf);
+            if (e & E_LIT) {
+                br.consume(e & 0xFF);
                 if (op >= out_avail) return 3;
-                out[op++] = (u8)payload;
+                out[op++] = (u8)(e >> 8);
+                if (e & E_LIT2) {
+                    if (op >= out_avail) return 3;
+                    out[op++] = (u8)(e >> 16);
+                }
                 continue;
             }
-            if (kind == KIND_EOB) {
-                if (payload) return 1;
+            if (e & E_EXC) {
+                br.consume(e & 0xFF);
+                if ((e >> 16) & 0x7FFF) return 1;
                 break;
             }
-            u32 len = payload + br.pop((e >> 8) & 0xFF);
-            u32 oe = T.off[br.peek(8)];
-            if ((oe >> 30) == KIND_SUB)
-                oe = T.off[((oe >> 16) & 0x3FFF) + (br.peek(8 + ((oe >> 8) & 0xFF)) >> 8)];
+            u64 saved = br.buf;
+            br.consume(e & 0xFF);
+            u32 len = dec_value(e, saved);
+            u32 oe = dec_lookup(T.off, 8, br.buf);
+            if (oe & E_EXC) return 1;
+            saved = br.buf;
             br.consume(oe & 0xFF);
-            if ((oe >> 30) != KIND_MATCH) return 1;
-            u32 oslot = (oe >> 16) & 0x3FFF;
-            if (br.cnt < 13 && !br.refill()) return 1;
-            u32 off = OFF_BASE[oslot] + br.pop((oe >> 8) & 0xFF);
+            u32 off = dec_value(oe, saved);
             if (off > op) return 1;
             if (len > out_avail - op) return 3;
             const u8* src = out + op - off;
