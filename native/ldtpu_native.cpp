@@ -1229,18 +1229,13 @@ extern "C" int ld_deflate_decompress(const u8* in, size_t n, u8* out,
         // code), leaving >=11 bits for the next main-table probe and >=26
         // for a full length code + extra after <=2 literals.
         bool eob = false;
-        while (br.pos + 16 <= n && op + 272 <= out_avail) {
+        if (br.pos + 16 <= n && op + 272 <= out_avail) {
             br.refill_fast();
             u32 e = dec_lookup(T.litlen, LTB, br.buf);
-            if (e & E_LIT) {
-                // pair emit via predicted branch: keeps the store addresses
-                // off the entry-load dependency chain
-                br.consume(e & 0xFF);
-                out[op] = (u8)(e >> 8);
-                out[op + 1] = (u8)(e >> 16);
-                op += 1 + ((e >> 30) & 1);
-                e = dec_lookup(T.litlen, LTB, br.buf);
+            for (;;) {
                 if (e & E_LIT) {
+                    // pair emit via predicted branch: keeps the store
+                    // addresses off the entry-load dependency chain
                     br.consume(e & 0xFF);
                     out[op] = (u8)(e >> 8);
                     out[op + 1] = (u8)(e >> 16);
@@ -1251,50 +1246,73 @@ extern "C" int ld_deflate_decompress(const u8* in, size_t n, u8* out,
                         out[op] = (u8)(e >> 8);
                         out[op + 1] = (u8)(e >> 16);
                         op += 1 + ((e >> 30) & 1);
-                        continue;  // refill before a fourth probe
+                        e = dec_lookup(T.litlen, LTB, br.buf);
+                        if (e & E_LIT) {
+                            // three probes consumed <= 45 bits: refill and
+                            // re-probe (bounds first: two refills/iteration)
+                            br.consume(e & 0xFF);
+                            out[op] = (u8)(e >> 8);
+                            out[op + 1] = (u8)(e >> 16);
+                            op += 1 + ((e >> 30) & 1);
+                            if (!(br.pos + 16 <= n && op + 272 <= out_avail))
+                                break;
+                            br.refill_fast();
+                            e = dec_lookup(T.litlen, LTB, br.buf);
+                            continue;
+                        }
                     }
                 }
-            }
-            if (__builtin_expect(e & E_EXC, 0)) {
+                if (__builtin_expect(e & E_EXC, 0)) {
+                    br.consume(e & 0xFF);
+                    if ((e >> 16) & 0x7FFF) return 1;
+                    eob = true;
+                    break;
+                }
+                u64 saved = br.buf;
                 br.consume(e & 0xFF);
-                if ((e >> 16) & 0x7FFF) return 1;
-                eob = true;
-                break;
-            }
-            u64 saved = br.buf;
-            br.consume(e & 0xFF);
-            u32 len = dec_value(e, saved);
-            br.refill_fast();  // offset code + extra is <= 28 more bits
-            u32 oe = dec_lookup(T.off, 8, br.buf);
-            if (__builtin_expect(oe & E_EXC, 0)) return 1;
-            saved = br.buf;
-            br.consume(oe & 0xFF);
-            u32 off = dec_value(oe, saved);
-            if (off > op) return 1;
-            const u8* src = out + op - off;
-            u8* dst = out + op;
-            op += len;
-            if (off >= 8) {
-                // most matches are short: 32 bytes unconditionally, then a
-                // word loop for the tail only
-                memcpy(dst, src, 8);
-                memcpy(dst + 8, src + 8, 8);
-                memcpy(dst + 16, src + 16, 8);
-                memcpy(dst + 24, src + 24, 8);
-                if (len > 32) {
-                    dst += 32; src += 32;
-                    u8* end = out + op;
-                    do { memcpy(dst, src, 8); dst += 8; src += 8; } while (dst < end);
+                u32 len = dec_value(e, saved);
+                // usually enough bits remain for offset code + extra (<=28);
+                // the refill branch is rarely taken and predicts well
+                if (br.cnt < 28) br.refill_fast();
+                u32 oe = dec_lookup(T.off, 8, br.buf);
+                if (__builtin_expect(oe & E_EXC, 0)) return 1;
+                saved = br.buf;
+                br.consume(oe & 0xFF);
+                u32 off = dec_value(oe, saved);
+                if (off > op) return 1;
+                const u8* src = out + op - off;
+                u8* dst = out + op;
+                op += len;
+                // preload the next entry before the copy so the table load
+                // retires under the copy's stores
+                bool more = br.pos + 16 <= n && op + 272 <= out_avail;
+                if (__builtin_expect(more, 1)) {
+                    br.refill_fast();
+                    e = dec_lookup(T.litlen, LTB, br.buf);
                 }
-            } else if (off == 1) {
-                memset(dst, *src, len);
-            } else {
-                u32 left = len, avail = off;
-                while (left) {
-                    u32 c = std::min(left, avail);
-                    memcpy(dst, src, c);
-                    dst += c; left -= c; avail += c;
+                if (off >= 8) {
+                    // most matches are short: 32 bytes unconditionally, then
+                    // a word loop for the tail only
+                    memcpy(dst, src, 8);
+                    memcpy(dst + 8, src + 8, 8);
+                    memcpy(dst + 16, src + 16, 8);
+                    memcpy(dst + 24, src + 24, 8);
+                    if (len > 32) {
+                        dst += 32; src += 32;
+                        u8* end = out + op;
+                        do { memcpy(dst, src, 8); dst += 8; src += 8; } while (dst < end);
+                    }
+                } else if (off == 1) {
+                    memset(dst, *src, len);
+                } else {
+                    u32 left = len, avail = off;
+                    while (left) {
+                        u32 c = std::min(left, avail);
+                        memcpy(dst, src, c);
+                        dst += c; left -= c; avail += c;
+                    }
                 }
+                if (!more) break;
             }
         }
         if (eob) continue;  // next block (or exit on is_final)
