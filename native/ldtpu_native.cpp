@@ -20,8 +20,10 @@
 //  * checksums: slice-by-8 CRC-32; Adler-32 with 5552-byte mod batching.
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <cstdlib>
+#include <cmath>
 #include <vector>
 #include <algorithm>
 
@@ -549,20 +551,101 @@ static void flush_block(BitWriter& bw, const u8* block_data, size_t block_len,
 //  3849; own implementation over the hash-chain matchfinder).
 // ---------------------------------------------------------------------------
 struct OptCfg { int depth; u32 nice; int passes; };
+#ifndef OPT_SOFT_MAX
+#define OPT_SOFT_MAX 300000
+#endif
+#ifndef OPT12_DEPTH
+#define OPT12_DEPTH 300
+#endif
+#ifndef OPT12_PASSES
+#define OPT12_PASSES 10
+#endif
 static OptCfg opt_cfg(int level) {
     if (level == 10) return {35, 75, 2};
     if (level == 11) return {100, 150, 4};
-    return {300, 258, 10};
+    return {OPT12_DEPTH, 258, OPT12_PASSES};
 }
 
+// ---------------------------------------------------------------------------
+// Binary-tree matchfinder for the near-optimal levels (role parity with the
+// reference's bt_matchfinder, lib/bt_matchfinder.h:140-262: hash4 indexes a
+// lexicographically-sorted binary tree of previous positions; one downward
+// traversal simultaneously searches, re-roots the tree at the new position,
+// and reports matches of strictly increasing length, each with the nearest
+// offset seen for that length).  Children are always older than parents, so
+// an out-of-window node prunes its whole subtree.
+// ---------------------------------------------------------------------------
+struct BTMF {
+    static const int HB = HASH4_ORDER + 1;  // order-16 hash4, like the reference
+    const u8* in; size_t n;
+    std::vector<s32> head4, head3;
+    std::vector<s32> left, right;
+    BTMF(const u8* p, size_t len) : in(p), n(len),
+        head4(1u << HB, -1), head3(2u << HASH3_ORDER, -1),
+        left(len ? len : 1, -1), right(len ? len : 1, -1) {}
+    inline u32 load32(size_t i) const { u32 v; memcpy(&v, in + i, 4); return v; }
+    inline u32 h4(size_t i) const { return (load32(i) * HASH_MULT) >> (32 - HB); }
+    inline u32 h3(size_t i) const { return ((load32(i) & 0xFFFFFF) * HASH_MULT) >> (32 - HASH3_ORDER); }
+    inline u32 ext(size_t i, size_t j, u32 limit) const {
+        u32 l = 0;
+        while (l + 8 <= limit) {
+            u64 a, b; memcpy(&a, in + i + l, 8); memcpy(&b, in + j + l, 8);
+            u64 x = a ^ b;
+            if (x) return l + (__builtin_ctzll(x) >> 3);
+            l += 8;
+        }
+        while (l < limit && in[i + l] == in[j + l]) l++;
+        return l;
+    }
+    // insert position i and (when Sink is non-null) report matches of
+    // strictly increasing length; requires limit >= 4
+    template <class Sink>
+    inline u32 advance(size_t i, int depth, u32 nice, u32 limit, Sink&& sink) {
+        u32 h = h4(i);
+        s32 j = head4[h];
+        head4[h] = (s32)i;
+        s32* pl = &left[i];
+        s32* pr = &right[i];
+        u32 llen = 0, rlen = 0, best = 3;
+        for (;;) {
+            if (j < 0 || i - (size_t)j > 32768 || depth-- <= 0) {
+                *pl = -1; *pr = -1;
+                break;
+            }
+            u32 l = std::min(llen, rlen);
+            u32 cl = l + ext(i + l, (size_t)j + l, limit - l);
+            if (cl > best) { sink(cl, (u32)(i - (size_t)j)); best = cl; }
+            if (cl >= nice || cl >= limit) {
+                // full-depth or long-enough match: adopt j's subtrees
+                *pl = left[(size_t)j];
+                *pr = right[(size_t)j];
+                break;
+            }
+            if (in[(size_t)j + cl] < in[i + cl]) {
+                *pl = j; pl = &right[(size_t)j];
+                j = right[(size_t)j];
+                llen = cl;
+            } else {
+                *pr = j; pr = &left[(size_t)j];
+                j = left[(size_t)j];
+                rlen = cl;
+            }
+        }
+        return best;
+    }
+};
+
 static const int BIT_COST = 16;
+#ifndef MW_TEMPER
+#define MW_TEMPER 8
+#endif
 
 static size_t compress_near_optimal(int level, const u8* in, size_t n,
                                     u8* out, size_t out_avail) {
     OptCfg oc = opt_cfg(level);
     BitWriter bw(out, out_avail);
-    const size_t SOFT_MAX = 300000;
-    Parser P(in, n);
+    const size_t SOFT_MAX = OPT_SOFT_MAX;
+    BTMF bt(in, n);
     size_t end_matchable = n >= 4 ? n - 3 : 0;
 
     struct CM { u16 len; u16 pad; u32 off; };
@@ -575,6 +658,11 @@ static size_t compress_near_optimal(int level, const u8* in, size_t n,
     size_t block_start = 0;
     std::vector<Seq> seqs;
     BlockStats stats;
+    // previous block's final code lengths, blended into the next block's
+    // seed costs (the reference mixes previous-block costs by a similarity
+    // heuristic, lib/deflate_compress.c:3207-3296)
+    u8 prev_ll[288] = {0}, prev_ofl[32] = {0};
+    bool have_prev = false;
     while (block_start < n) {
         size_t max_block_end =
             (n - block_start < SOFT_MAX + 5000) ? n : block_start + SOFT_MAX;
@@ -585,40 +673,65 @@ static size_t compress_near_optimal(int level, const u8* in, size_t n,
         // --- collect all matches per position (with online split check) ---
         mstart.assign(blen + 1, 0);
         mlist.clear();
+        size_t match_pos_count = 0;
+        // Observe the item stream, not the position stream: a match
+        // suppresses further observations for the bytes it covers
+        // (lib/deflate_compress.c:3693-3704) — observing every overlapping
+        // candidate inflates correlated deltas and splits blocks ~5x too
+        // often.
+        size_t next_observation = block_start;
         for (size_t i = block_start; i < block_end; ) {
             mstart[i - block_start] = (u32)mlist.size();
             u32 best_here = 0;
             if (i < end_matchable) {
                 u32 limit = (u32)std::min<size_t>(258, n - i);
                 u32 best = 2;
-                s32 j = P.head3[P.h3(i)];
-                if (j >= 0 && i - (size_t)j <= 32768) {
-                    u32 l = P.extend(i, j, limit);
-                    if (l >= 3) { mlist.push_back({(u16)l, 0, (u32)(i - j)}); best = l; }
+                // 2-way hash3 bucket, like the reference's bt_matchfinder
+                u32 h3i = bt.h3(i);
+                s32 j3 = bt.head3[2 * h3i], j3b = bt.head3[2 * h3i + 1];
+                bt.head3[2 * h3i + 1] = j3;
+                bt.head3[2 * h3i] = (s32)i;
+                if (j3 >= 0 && i - (size_t)j3 <= 32768) {
+                    u32 l = bt.ext(i, (size_t)j3, limit);
+                    if (l >= 3) { mlist.push_back({(u16)l, 0, (u32)(i - j3)}); best = l; }
                 }
-                int d = oc.depth;
-                j = P.head4[P.h4(i)];
-                u32 nice_c = std::min(oc.nice, limit);
-                while (j >= 0 && i - (size_t)j <= 32768 && d > 0 && best < nice_c) {
-                    if (best < limit && in[j + best] == in[i + best]) {
-                        u32 l = P.extend(i, j, limit);
-                        if (l > best && l >= 4) { mlist.push_back({(u16)l, 0, (u32)(i - j)}); best = l; }
+                if (best < 4 && j3b >= 0 && i - (size_t)j3b <= 32768) {
+                    u32 l = bt.ext(i, (size_t)j3b, limit);
+                    if (l > best && l >= 3) {
+                        mlist.push_back({(u16)l, 0, (u32)(i - j3b)});
+                        best = l;
                     }
-                    j = P.prev4[(size_t)j];
-                    d--;
                 }
-                P.insert(i);
+                u32 nice_c = std::min(oc.nice, limit);
+                bt.advance(i, oc.depth, nice_c, limit, [&](u32 l, u32 off) {
+                    if (l > best) { mlist.push_back({(u16)l, 0, off}); best = l; }
+                });
                 best_here = best;
             }
             // split-stat observation (reference observes during collection)
-            if (best_here >= 4) stats.match(best_here);
-            else stats.literal(in[i]);
-            // skip deep insertion inside very long matches (like the reference)
+            if (i >= next_observation) {
+                if (best_here >= 4) {
+                    stats.match(best_here);
+                    match_pos_count++;
+                    next_observation = i + best_here;
+                } else {
+                    stats.literal(in[i]);
+                    next_observation = i + 1;
+                }
+            }
+            // skip match collection inside very long matches (the reference
+            // does the same; positions are still inserted so the tree keeps
+            // its history, just without recording)
             if (best_here >= oc.nice && best_here >= 16) {
                 size_t stop = std::min(i + best_here, std::min(block_end, end_matchable));
                 for (size_t p2 = i + 1; p2 < stop; p2++) {
                     mstart[p2 - block_start] = (u32)mlist.size();
-                    P.insert(p2);
+                    u32 limit2 = (u32)std::min<size_t>(258, n - p2);
+                    u32 h3p = bt.h3(p2);
+                    bt.head3[2 * h3p + 1] = bt.head3[2 * h3p];
+                    bt.head3[2 * h3p] = (s32)p2;
+                    bt.advance(p2, oc.depth, std::min(oc.nice, limit2), limit2,
+                               [](u32, u32) {});
                 }
                 i = stop;
             } else {
@@ -635,10 +748,42 @@ static size_t compress_near_optimal(int level, const u8* in, size_t n,
         mstart[blen] = (u32)mlist.size();
 
         // --- iterated min-cost DP ---
+        // Initial literal costs come from the block's actual byte entropy
+        // (the reference seeds data-driven literal costs,
+        // lib/deflate_compress.c:2986-3102; with the whole block in hand we
+        // can use the measured distribution directly).  Skewed literal
+        // distributions otherwise make the flat-cost first pass prefer
+        // marginal matches whose statistics the later passes lock in.
         u32 lit_cost[256], len_sym_cost[29], off_sym_cost[30];
-        for (int i2 = 0; i2 < 256; i2++) lit_cost[i2] = 13 * BIT_COST;
-        for (int i2 = 0; i2 < 29; i2++) len_sym_cost[i2] = 13 * BIT_COST;
-        for (int i2 = 0; i2 < 30; i2++) off_sym_cost[i2] = 10 * BIT_COST;
+        {
+            // Blend measured entropy with the flat default weighted by how
+            // much of the block matches cover: matches consume literal
+            // occurrences, flattening the distribution the final code sees
+            // (the reference's table is parameterized the same way, by
+            // match probability: lib/deflate_compress.c:2986-3102).
+            u32 bh[256] = {0};
+            for (size_t i2 = 0; i2 < blen; i2++) bh[in[block_start + i2]]++;
+            u64 mw = MW_TEMPER;
+            for (int c = 0; c < 256; c++) {
+                double p = (bh[c] + 0.5) / (double)(blen + 128);
+                int ent = (int)(-std::log2(p) * BIT_COST + 0.5);
+                ent = std::min(std::max(ent, BIT_COST), 14 * BIT_COST);
+                u32 seed = (u32)((ent * (16 - mw) + 13 * BIT_COST * mw) / 16);
+                if (have_prev) {
+                    u32 pc = (prev_ll[c] ? prev_ll[c] : 13) * BIT_COST;
+                    seed = (seed + pc) / 2;
+                }
+                lit_cost[c] = seed;
+            }
+        }
+        for (int i2 = 0; i2 < 29; i2++)
+            len_sym_cost[i2] = have_prev && prev_ll[257 + i2]
+                                   ? ((prev_ll[257 + i2] + 13) * BIT_COST) / 2
+                                   : 13 * BIT_COST;
+        for (int i2 = 0; i2 < 30; i2++)
+            off_sym_cost[i2] = have_prev && prev_ofl[i2]
+                                   ? ((prev_ofl[i2] + 10) * BIT_COST) / 2
+                                   : 10 * BIT_COST;
 
         cost.assign(blen + 1, 0);
         choice_len.assign(blen + 1, 1);
@@ -693,6 +838,55 @@ static size_t compress_near_optimal(int level, const u8* in, size_t n,
             for (int i2 = 0; i2 < 30; i2++) off_sym_cost[i2] = (ofl[i2] ? ofl[i2] : 10) * BIT_COST;
         }
 
+        // --- all-literals alternative ---
+        // The reference evaluates this block shape explicitly
+        // (lib/deflate_compress.c:3437-3466): on literal-heavy blocks a
+        // pure-Huffman block beats the matchy min-cost path because dropping
+        // the length/offset symbols sharpens the literal code.
+        {
+            Freqs fp;
+            u64 extra_bits = 0;
+            for (size_t pos = 0; pos < blen; ) {
+                if (choice_off[pos] == 0 || choice_len[pos] <= 1) {
+                    fp.litlen[in[block_start + pos]]++;
+                    pos++;
+                } else {
+                    unsigned ls = len_to_slot[choice_len[pos]];
+                    unsigned os = offset_slot(choice_off[pos]);
+                    fp.litlen[257 + ls]++;
+                    fp.off[os]++;
+                    extra_bits += LEN_EXTRA[ls] + OFF_EXTRA[os];
+                    pos += choice_len[pos];
+                }
+            }
+            fp.litlen[256]++;
+            u8 ll[288]; u16 llc[288]; u8 ofl[32]; u16 ofc[32];
+            make_huffman(fp.litlen, 288, 14, ll, llc);
+            make_huffman(fp.off, 32, 15, ofl, ofc);
+            u64 path_bits = extra_bits;
+            for (int s = 0; s < 288; s++) path_bits += (u64)fp.litlen[s] * ll[s];
+            for (int s = 0; s < 32; s++) path_bits += (u64)fp.off[s] * ofl[s];
+            Freqs fl;
+            for (size_t i2 = 0; i2 < blen; i2++) fl.litlen[in[block_start + i2]]++;
+            fl.litlen[256]++;
+            u8 l2[288]; u16 c2[288];
+            make_huffman(fl.litlen, 288, 14, l2, c2);
+            u64 lit_bits = 0;
+            for (int s = 0; s < 288; s++) lit_bits += (u64)fl.litlen[s] * l2[s];
+            if (lit_bits < path_bits) {
+                for (size_t pos = 0; pos < blen; pos++) {
+                    choice_len[pos] = 1;
+                    choice_off[pos] = 0;
+                }
+                memcpy(prev_ll, l2, sizeof(prev_ll));
+                memset(prev_ofl, 0, sizeof(prev_ofl));
+            } else {
+                memcpy(prev_ll, ll, sizeof(prev_ll));
+                memcpy(prev_ofl, ofl, sizeof(prev_ofl));
+            }
+            have_prev = true;
+        }
+
         // --- path -> seqs, flush ---
         seqs.clear();
         for (size_t pos = 0; pos < blen; ) {
@@ -704,6 +898,8 @@ static size_t compress_near_optimal(int level, const u8* in, size_t n,
                 pos += choice_len[pos];
             }
         }
+        if (getenv("LDTPU_DEBUG_BLOCKS"))
+            fprintf(stderr, "block %zu..%zu (%zu)\n", block_start, block_end, blen);
         flush_block(bw, in + block_start, blen, seqs, block_end == n);
         if (bw.overflow) return 0;
         block_start = block_end;
