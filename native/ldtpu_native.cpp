@@ -28,7 +28,7 @@
 #include <algorithm>
 
 using u8 = uint8_t;  using u16 = uint16_t;  using u32 = uint32_t;  using u64 = uint64_t;
-using s32 = int32_t;
+using s16 = int16_t;  using s32 = int32_t;
 
 // ---------------------------------------------------------------------------
 // checksums
@@ -269,16 +269,19 @@ struct Seq { u8 kind; u8 pad; u16 len; u32 off_or_lit; };
 
 struct Parser {
     const u8* in; size_t n;
+    // prev4 is a 32K ring (positions older than the window are dead by the
+    // time their slot is reused) -- the whole matchfinder state stays cache
+    // resident like the reference's 16-bit tables (lib/hc_matchfinder.h)
     std::vector<s32> head4, prev4, head3;
     Parser(const u8* p, size_t len) : in(p), n(len),
-        head4(1u << HASH4_ORDER, -1), prev4(len ? len : 1, -1),
+        head4(1u << HASH4_ORDER, -1), prev4(32768, -1),
         head3(1u << HASH3_ORDER, -1) {}
     inline u32 load32(size_t i) const { u32 v; memcpy(&v, in + i, 4); return v; }
     inline u32 h4(size_t i) const { return (load32(i) * HASH_MULT) >> (32 - HASH4_ORDER); }
     inline u32 h3(size_t i) const { return ((load32(i) & 0xFFFFFF) * HASH_MULT) >> (32 - HASH3_ORDER); }
     inline void insert(size_t i) {
         u32 h = h4(i);
-        prev4[i] = head4[h]; head4[h] = (s32)i;
+        prev4[i & 32767] = head4[h]; head4[h] = (s32)i;
         head3[h3(i)] = (s32)i;
     }
     inline u32 extend(size_t i, size_t j, u32 limit) const {
@@ -304,13 +307,35 @@ struct Parser {
             if (l >= 3 && l > best) { best = l; boff = (u32)(i - j); }
         }
         j = head4[h4(i)];
-        while (j >= 0 && i - (size_t)j <= 32768 && depth > 0 && best < nice_c) {
-            if (best >= limit) break;
-            if (in[j + best] == in[i + best]) {
+        u32 first4 = load32(i);
+        // phase 1 (only while nothing >= 4 found): bare first-word compares
+        // -- the reference's first-match loop (lib/hc_matchfinder.h:228-249)
+        while (best < 4 && j >= 0 && i - (size_t)j <= 32768 && depth > 0) {
+            depth--;
+            if (load32((size_t)j) == first4) {
                 u32 l = extend(i, j, limit);
-                if (l > best && l >= 4) { best = l; boff = (u32)(i - j); }
+                if (l >= 4) {
+                    best = l;
+                    boff = (u32)(i - j);
+                    j = prev4[(size_t)j & 32767];
+                    break;
+                }
             }
-            j = prev4[(size_t)j];
+            j = prev4[(size_t)j & 32767];
+        }
+        // phase 2: improve; reject most losers with one 4-byte compare
+        // spanning the current best length (the reference's
+        // last+first-4-bytes quick check, lib/hc_matchfinder.h:251-263)
+        while (j >= 0 && i - (size_t)j <= 32768 && depth > 0 && best < nice_c &&
+               best < limit) {
+            u32 ta, tb;
+            memcpy(&ta, in + (size_t)j + best - 3, 4);
+            memcpy(&tb, in + i + best - 3, 4);
+            if (ta == tb && load32((size_t)j) == first4) {
+                u32 l = extend(i, j, limit);
+                if (l > best) { best = l; boff = (u32)(i - j); }
+            }
+            j = prev4[(size_t)j & 32767];
             depth--;
         }
         if (!boff || best < 3) return 0;
@@ -916,7 +941,16 @@ static size_t compress_fastest(const u8* in, size_t n, u8* out,
     BitWriter bw(out, out_avail);
     const int ORDER = 15;
     const u32 NICE = 32;
-    std::vector<s32> tab(2u << ORDER, -1);
+    // 2-entry buckets of 16-bit window-relative positions (128 KiB, cache
+    // resident) with saturating rebase every 32 KiB -- the reference's
+    // ht_matchfinder layout (lib/ht_matchfinder.h:57-60,
+    // lib/matchfinder_common.h:119-158)
+    std::vector<s16> tab(2u << ORDER, -32768);
+    size_t mf_base = 0;
+    auto slide = [&]() {
+        for (auto& v : tab) v = (s16)std::max(-32768, (int)v - 32768);
+        mf_base += 32768;
+    };
     const size_t SOFT = 65535, SEQ_SOFT = 8192;
     size_t end_matchable = n >= 4 ? n - 3 : 0;
     std::vector<Seq> seqs;
@@ -948,29 +982,33 @@ static size_t compress_fastest(const u8* in, size_t n, u8* out,
                 in_next++;
                 continue;
             }
+            if (in_next - mf_base >= 32768) slide();
+            s32 rel = (s32)(in_next - mf_base);
             u32 w = load32(in_next);
             u32 h = (w * HASH_MULT) >> (32 - ORDER);
             s32 c1 = tab[2 * h], c2 = tab[2 * h + 1];
-            tab[2 * h + 1] = c1;
-            tab[2 * h] = (s32)in_next;
+            tab[2 * h + 1] = (s16)c1;
+            tab[2 * h] = (s16)rel;
             u32 best = 0, boff = 0;
             u32 limit = (u32)std::min<size_t>(258, n - in_next);
-            for (s32 j : {c1, c2}) {
-                if (j < 0 || in_next - (size_t)j > 32768) continue;
+            for (s32 c : {c1, c2}) {
+                if (c <= rel - 32768) continue;
+                size_t j = (size_t)((std::ptrdiff_t)mf_base + c);
                 u32 wj;
                 memcpy(&wj, in + j, 4);
                 if (wj != w) continue;
                 u32 l = extend(in_next, j, limit);
-                if (l > best) { best = l; boff = (u32)(in_next - (size_t)j); }
+                if (l > best) { best = l; boff = (u32)(in_next - j); }
                 if (best >= NICE) break;
             }
             if (best >= 4) {
                 seqs.push_back({1, 0, (u16)best, boff});
                 size_t stop = std::min(in_next + best, end_matchable);
                 for (size_t p = in_next + 1; p < stop; p++) {
+                    if (p - mf_base >= 32768) slide();
                     u32 hp = (load32(p) * HASH_MULT) >> (32 - ORDER);
                     tab[2 * hp + 1] = tab[2 * hp];
-                    tab[2 * hp] = (s32)p;
+                    tab[2 * hp] = (s16)(p - mf_base);
                 }
                 in_next += best;
             } else {
