@@ -477,6 +477,24 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
     cap = jnp.clip(length - pos, 0, MAX_LEN)
     mlen_s = jnp.minimum(mlen_s, cap)
     dist = dist_s
+
+    # adaptive minimum match length from the distinct-literal count of the
+    # first 4 KiB (the reference's calculate_min_match_len policy,
+    # lib/deflate_compress.c:2295-2353): on low-entropy alphabets short
+    # matches cost more bits than the literals they replace
+    stride = max(1, n_pad // 4096)
+    sample = bp[::stride][:4096].astype(jnp.int32)
+    seen = jnp.any(
+        sample[:, None] == jnp.arange(256, dtype=jnp.int32)[None, :], axis=0
+    )
+    used = jnp.sum(seen.astype(jnp.int32))
+    min_len = jnp.where(
+        used <= 5, 9,
+        jnp.where(used <= 7, 8,
+        jnp.where(used <= 9, 7,
+        jnp.where(used <= 15, 6,
+        jnp.where(used <= 44, 5, MIN_MATCH)))))
+    min_len = jnp.maximum(min_len, MIN_MATCH)
     if hash3:
         h3 = (
             ((words_u32 & jnp.uint32(0xFFFFFF)) * jnp.uint32(MULT))
@@ -484,12 +502,12 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
         ).astype(jnp.uint32)
         h3 = jnp.where(pos + 3 <= length, h3, jnp.uint32(JUNK_HASH))
         d3 = _hash3_matchfind(h3, words_u32, sort_seg)
-        use3 = (mlen_s < MIN_MATCH) & (d3 > 0) & (cap >= 3)
+        use3 = (mlen_s < MIN_MATCH) & (d3 > 0) & (cap >= 3) & (min_len <= 4)
         mlen_s = jnp.where(use3, 3, mlen_s)
         dist = jnp.where(use3, d3, dist)
-        is_match = mlen_s >= 3
+        is_match = use3 | (mlen_s >= min_len)
     else:
-        is_match = mlen_s >= MIN_MATCH
+        is_match = mlen_s >= min_len
     span = jnp.where(is_match, mlen_s, 1)
 
     if lazy:
