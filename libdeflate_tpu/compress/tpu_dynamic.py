@@ -308,7 +308,7 @@ def _translate(sk: jax.Array, starts: jax.Array, table: jax.Array, seg: int):
 # ---------------------------------------------------------------------------
 def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array,
                            two_pass: bool = False, depth: int = 6,
-                           hash3: bool = False):
+                           hash3: bool = False, wide_ext: bool = False):
     """Compress one chunk into a byte-aligned raw-DEFLATE fragment using
     per-chunk dynamic litlen + distance codes (static block selected per
     chunk when cheaper).  ``two_pass`` doubles matchfinder window coverage
@@ -318,7 +318,8 @@ def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array,
     n_pad, _, _ = _segment_sizes(n)
     sym_seg = _sym_seg(n_pad)
     bp, pos, commit_match, commit_lit, eff, dist = _parse_chunk(
-        b, length, lazy=True, two_pass=two_pass, depth=depth, hash3=hash3
+        b, length, lazy=True, two_pass=two_pass, depth=depth, hash3=hash3,
+        wide_ext=wide_ext or two_pass or hash3
     )
 
     lslot, lbase, lextra = _length_slot(jnp.maximum(eff, 3))

@@ -176,7 +176,7 @@ def _segment_sizes(n: int) -> tuple[int, int, int]:
 
 def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
                       w8: jax.Array | None, w12: jax.Array | None, seg: int,
-                      depth: int = 2):
+                      depth: int = 2, wide_ext: bool = False):
     """Nearest (and second-nearest) previous same-hash candidates per
     position via ONE batched segment sort carrying the position's own 16
     bytes as payloads; the LCP is byte-exact up to 19: word-granular
@@ -240,20 +240,61 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
         return mlen, dist, fine
 
     mlen, dist, fine = probe(1)
+    if not (deep and wide_ext):
+        for d in range(2, depth + 1):
+            m2, d2, f2 = probe(d)
+            better = (m2 > mlen) | ((m2 == mlen) & (f2 > fine))
+            mlen = jnp.where(better, m2, mlen)
+            dist = jnp.where(better, d2, dist)
+            fine = jnp.where(better, f2, fine)
+        payload = (mlen << jnp.uint32(18)) | (fine << jnp.uint32(16)) | dist
+        _, pay = jax.lax.sort((slp, payload), num_keys=1, dimension=1)
+        pay = pay.reshape(n)
+        mlen16 = (pay >> jnp.uint32(18)).astype(jnp.int32)
+        fine16 = ((pay >> jnp.uint32(16)) & jnp.uint32(3)).astype(jnp.int32)
+        dist16 = (pay & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        return _chain_extend(mlen16, dist16, fine16)
+
+    # Deep tier: LCP-capped candidates tie at 16, and choosing the wrong one
+    # truncates the chain extension (a capped-16 candidate may continue for
+    # 200 bytes while another stops at 18 — the compare can't tell).  Keep
+    # the best AND the best-with-a-different-distance, extend both chains in
+    # position space, and commit whichever extends farther.  The second
+    # payload rides the same sorts (sort cost is payload-count-insensitive
+    # on this chip).
+    z = jnp.zeros_like(mlen)
+    mlen2, dist2, fine2 = z, z, z
     for d in range(2, depth + 1):
         m2, d2, f2 = probe(d)
         better = (m2 > mlen) | ((m2 == mlen) & (f2 > fine))
+        # the loser of (incumbent best, new probe) is the runner-up candidate
+        cm = jnp.where(better, mlen, m2)
+        cd = jnp.where(better, dist, d2)
+        cf = jnp.where(better, fine, f2)
+        nbd = jnp.where(better, d2, dist)  # new best dist
+        upd2 = (cd != nbd) & (cd != 0) & (
+            (cm > mlen2) | ((cm == mlen2) & (cf > fine2))
+        )
+        mlen2 = jnp.where(upd2, cm, mlen2)
+        dist2 = jnp.where(upd2, cd, dist2)
+        fine2 = jnp.where(upd2, cf, fine2)
         mlen = jnp.where(better, m2, mlen)
         dist = jnp.where(better, d2, dist)
         fine = jnp.where(better, f2, fine)
 
-    payload = (mlen << jnp.uint32(18)) | (fine << jnp.uint32(16)) | dist
-    _, pay = jax.lax.sort((slp, payload), num_keys=1, dimension=1)
-    pay = pay.reshape(n)
-    mlen16 = (pay >> jnp.uint32(18)).astype(jnp.int32)
-    fine16 = ((pay >> jnp.uint32(16)) & jnp.uint32(3)).astype(jnp.int32)
-    dist16 = (pay & jnp.uint32(0xFFFF)).astype(jnp.int32)
-    return _chain_extend(mlen16, dist16, fine16)
+    pay_a = (mlen << jnp.uint32(18)) | (fine << jnp.uint32(16)) | dist
+    pay_b = (mlen2 << jnp.uint32(18)) | (fine2 << jnp.uint32(16)) | dist2
+    _, pa, pb = jax.lax.sort((slp, pay_a, pay_b), num_keys=1, dimension=1)
+    pa = pa.reshape(n)
+    pb = pb.reshape(n)
+    return _chain_extend2(
+        (pa >> jnp.uint32(18)).astype(jnp.int32),
+        (pa & jnp.uint32(0xFFFF)).astype(jnp.int32),
+        ((pa >> jnp.uint32(16)) & jnp.uint32(3)).astype(jnp.int32),
+        (pb >> jnp.uint32(18)).astype(jnp.int32),
+        (pb & jnp.uint32(0xFFFF)).astype(jnp.int32),
+        ((pb >> jnp.uint32(16)) & jnp.uint32(3)).astype(jnp.int32),
+    )
 
 
 def _chain_extend(mlen: jax.Array, dist: jax.Array, fine: jax.Array):
@@ -277,6 +318,36 @@ def _chain_extend(mlen: jax.Array, dist: jax.Array, fine: jax.Array):
         f = jnp.where(take, f_s, f)
         s *= 2
     return jnp.minimum(r + jnp.where(r >= 4, f, 0), MAX_LEN), dist
+
+
+def _chain_extend2(mA, dA, fA, mB, dB, fB):
+    """Two-candidate stride-8 chain extension: each candidate's chain may
+    splice with EITHER downstream candidate that continues at the same
+    distance; the longer extended match wins (ties prefer A, the nearer
+    candidate).  Same exactness argument as _chain_extend — a splice fires
+    only on exact distance equality, so lengths stay byte-true."""
+    rA, fa = mA, fA
+    rB, fb = mB, fB
+    s = 8
+    while s < MAX_LEN:
+        def sh(x):
+            return jnp.concatenate([x[s:], jnp.zeros(s, jnp.int32)])
+        rA_s, dA_s, fa_s = sh(rA), sh(dA), sh(fa)
+        rB_s, dB_s, fb_s = sh(rB), sh(dB), sh(fb)
+        tA1 = (rA == s) & (dA_s == dA)
+        tA2 = (rA == s) & ~tA1 & (dB_s == dA)
+        tB1 = (rB == s) & (dA_s == dB)
+        tB2 = (rB == s) & ~tB1 & (dB_s == dB)
+        rA_new = rA + jnp.where(tA1, rA_s, jnp.where(tA2, rB_s, 0))
+        fa_new = jnp.where(tA1, fa_s, jnp.where(tA2, fb_s, fa))
+        rB_new = rB + jnp.where(tB1, rA_s, jnp.where(tB2, rB_s, 0))
+        fb_new = jnp.where(tB1, fa_s, jnp.where(tB2, fb_s, fb))
+        rA, fa, rB, fb = rA_new, fa_new, rB_new, fb_new
+        s *= 2
+    lenA = jnp.minimum(rA + jnp.where(rA >= 4, fa, 0), MAX_LEN)
+    lenB = jnp.minimum(rB + jnp.where(rB >= 4, fb, 0), MAX_LEN)
+    useB = lenB > lenA
+    return jnp.where(useB, lenB, lenA), jnp.where(useB, dB, dA)
 
 
 def _greedy_commit(span: jax.Array, is_match: jax.Array, seg: int):
@@ -426,7 +497,8 @@ def _hash3_matchfind(h3: jax.Array, words: jax.Array, seg: int):
 
 
 def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
-                 two_pass: bool = False, depth: int = 2, hash3: bool = False):
+                 two_pass: bool = False, depth: int = 2, hash3: bool = False,
+                 wide_ext: bool = False):
     """Shared greedy LZ parse: matchfind (sorted + RLE paths), combine,
     segment-FSM commit (optionally lazy).  With ``two_pass``, a second
     matchfind over half-segment-shifted windows guarantees every position
@@ -453,7 +525,7 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
     h = jnp.where(pos + MIN_MATCH <= length, h, jnp.uint32(JUNK_HASH))
 
     mlen_s, dist_s = _sorted_matchfind(h, words_u32, w4, w8, w12, sort_seg,
-                                       depth=depth)
+                                       depth=depth, wide_ext=wide_ext)
     if two_pass and sort_seg >= 2 * FSM_SEG:
         half = sort_seg // 2
         junk = jnp.full(half, JUNK_HASH, jnp.uint32)
