@@ -603,11 +603,15 @@ static OptCfg opt_cfg(int level) {
 struct BTMF {
     static const int HB = HASH4_ORDER + 1;  // order-16 hash4, like the reference
     const u8* in; size_t n;
-    std::vector<s32> head4, head3;
-    std::vector<s32> left, right;
+    size_t base = 0;  // window base; all table entries are relative to it
+    // 16-bit window-relative positions with saturating rebase: the whole
+    // matchfinder state (head4 128K + child 128K + head3 64K) stays cache
+    // resident, like the reference's mf_pos_t design
+    // (lib/matchfinder_common.h:119-158, lib/bt_matchfinder.h:88-101)
+    std::vector<s16> head4, head3, child;  // child[2*(pos & 32767)] = {l, r}
     BTMF(const u8* p, size_t len) : in(p), n(len),
-        head4(1u << HB, -1), head3(2u << HASH3_ORDER, -1),
-        left(len ? len : 1, -1), right(len ? len : 1, -1) {}
+        head4(1u << HB, -32768), head3(2u << HASH3_ORDER, -32768),
+        child(2u << 15, -32768) {}
     inline u32 load32(size_t i) const { u32 v; memcpy(&v, in + i, 4); return v; }
     inline u32 h4(size_t i) const { return (load32(i) * HASH_MULT) >> (32 - HB); }
     inline u32 h3(size_t i) const { return ((load32(i) & 0xFFFFFF) * HASH_MULT) >> (32 - HASH3_ORDER); }
@@ -622,37 +626,65 @@ struct BTMF {
         while (l < limit && in[i + l] == in[j + l]) l++;
         return l;
     }
-    // insert position i and (when Sink is non-null) report matches of
-    // strictly increasing length; requires limit >= 4
+    void slide() {
+        auto sub = [](std::vector<s16>& v) {
+            for (auto& x : v) x = (s16)std::max(-32768, (int)x - 32768);
+        };
+        sub(head4); sub(head3); sub(child);
+        base += 32768;
+    }
+    // nearest (and second-nearest) len-3 candidate probe + insert
+    inline u32 probe3(size_t i, u32 limit, u32* off_out) {
+        if (i - base >= 32768) slide();
+        s32 rel = (s32)(i - base);
+        u32 h = h3(i);
+        s32 j = head3[2 * h], jb = head3[2 * h + 1];
+        head3[2 * h + 1] = (s16)j;
+        head3[2 * h] = (s16)rel;
+        for (s32 c : {j, jb}) {
+            if (c <= rel - 32768) continue;
+            size_t ja = (size_t)((std::ptrdiff_t)base + c);
+            u32 l = ext(i, ja, limit);
+            if (l >= 3) { *off_out = (u32)(i - ja); return l; }
+        }
+        return 0;
+    }
+    // insert position i and report matches of strictly increasing length;
+    // requires limit >= 4.  Caller must have called probe3 (or otherwise
+    // ensured the window has slid) for this position first.
     template <class Sink>
     inline u32 advance(size_t i, int depth, u32 nice, u32 limit, Sink&& sink) {
+        if (i - base >= 32768) slide();
+        s32 rel = (s32)(i - base);
         u32 h = h4(i);
         s32 j = head4[h];
-        head4[h] = (s32)i;
-        s32* pl = &left[i];
-        s32* pr = &right[i];
+        head4[h] = (s16)rel;
+        s16* pl = &child[2 * (rel & 32767)];
+        s16* pr = pl + 1;
         u32 llen = 0, rlen = 0, best = 3;
         for (;;) {
-            if (j < 0 || i - (size_t)j > 32768 || depth-- <= 0) {
-                *pl = -1; *pr = -1;
+            if (j <= rel - 32768 || depth-- <= 0) {
+                *pl = -32768; *pr = -32768;
                 break;
             }
+            size_t ja = (size_t)((std::ptrdiff_t)base + j);
             u32 l = std::min(llen, rlen);
-            u32 cl = l + ext(i + l, (size_t)j + l, limit - l);
-            if (cl > best) { sink(cl, (u32)(i - (size_t)j)); best = cl; }
+            u32 cl = l + ext(i + l, ja + l, limit - l);
+            if (cl > best) { sink(cl, (u32)(i - ja)); best = cl; }
+            s16* jc = &child[2 * ((u32)j & 32767)];
             if (cl >= nice || cl >= limit) {
                 // full-depth or long-enough match: adopt j's subtrees
-                *pl = left[(size_t)j];
-                *pr = right[(size_t)j];
+                *pl = jc[0];
+                *pr = jc[1];
                 break;
             }
-            if (in[(size_t)j + cl] < in[i + cl]) {
-                *pl = j; pl = &right[(size_t)j];
-                j = right[(size_t)j];
+            if (in[ja + cl] < in[i + cl]) {
+                *pl = (s16)j; pl = jc + 1;
+                j = jc[1];
                 llen = cl;
             } else {
-                *pr = j; pr = &left[(size_t)j];
-                j = left[(size_t)j];
+                *pr = (s16)j; pr = jc;
+                j = jc[0];
                 rlen = cl;
             }
         }
@@ -712,20 +744,11 @@ static size_t compress_near_optimal(int level, const u8* in, size_t n,
                 u32 limit = (u32)std::min<size_t>(258, n - i);
                 u32 best = 2;
                 // 2-way hash3 bucket, like the reference's bt_matchfinder
-                u32 h3i = bt.h3(i);
-                s32 j3 = bt.head3[2 * h3i], j3b = bt.head3[2 * h3i + 1];
-                bt.head3[2 * h3i + 1] = j3;
-                bt.head3[2 * h3i] = (s32)i;
-                if (j3 >= 0 && i - (size_t)j3 <= 32768) {
-                    u32 l = bt.ext(i, (size_t)j3, limit);
-                    if (l >= 3) { mlist.push_back({(u16)l, 0, (u32)(i - j3)}); best = l; }
-                }
-                if (best < 4 && j3b >= 0 && i - (size_t)j3b <= 32768) {
-                    u32 l = bt.ext(i, (size_t)j3b, limit);
-                    if (l > best && l >= 3) {
-                        mlist.push_back({(u16)l, 0, (u32)(i - j3b)});
-                        best = l;
-                    }
+                u32 off3 = 0;
+                u32 l3 = bt.probe3(i, limit, &off3);
+                if (l3 >= 3) {
+                    mlist.push_back({(u16)l3, 0, off3});
+                    best = l3;
                 }
                 u32 nice_c = std::min(oc.nice, limit);
                 bt.advance(i, oc.depth, nice_c, limit, [&](u32 l, u32 off) {
@@ -752,9 +775,8 @@ static size_t compress_near_optimal(int level, const u8* in, size_t n,
                 for (size_t p2 = i + 1; p2 < stop; p2++) {
                     mstart[p2 - block_start] = (u32)mlist.size();
                     u32 limit2 = (u32)std::min<size_t>(258, n - p2);
-                    u32 h3p = bt.h3(p2);
-                    bt.head3[2 * h3p + 1] = bt.head3[2 * h3p];
-                    bt.head3[2 * h3p] = (s32)p2;
+                    u32 off3 = 0;
+                    bt.probe3(p2, limit2, &off3);
                     bt.advance(p2, oc.depth, std::min(oc.nice, limit2), limit2,
                                [](u32, u32) {});
                 }
