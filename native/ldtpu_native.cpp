@@ -265,7 +265,10 @@ static const u32 HASH_MULT = 0x1E35A7BDu;
 
 struct Item { u32 litlen; u32 len; u32 off; };  // litlen: byte or 257+slot marker unused
 
-struct Seq { u8 kind; u8 pad; u16 len; u32 off_or_lit; };
+// A sequence item: `litrun` literals (read from the block data at emission
+// time -- the reference's litrunlen design, lib/deflate_compress.c:165-190)
+// followed by a match of `len` at `off`; len == 0 terminates the block.
+struct Seq { u32 litrun; u16 len; u16 pad; u32 off; };
 
 struct Parser {
     const u8* in; size_t n;
@@ -432,20 +435,10 @@ static LevelCfg level_cfg(int level) {
 struct Freqs { u32 litlen[288] = {0}; u32 off[32] = {0}; };
 
 static void flush_block(BitWriter& bw, const u8* block_data, size_t block_len,
-                        const std::vector<Seq>& seqs, bool is_final) {
+                        const std::vector<Seq>& seqs, Freqs& f,
+                        u64 len_extra_bits, u64 off_extra_bits,
+                        bool is_final) {
     slot_init();
-    Freqs f;
-    u64 len_extra_bits = 0, off_extra_bits = 0;
-    for (const Seq& s : seqs) {
-        if (s.kind == 0) f.litlen[s.off_or_lit]++;
-        else {
-            unsigned ls = len_to_slot[s.len];
-            unsigned os = offset_slot(s.off_or_lit);
-            f.litlen[257 + ls]++; f.off[os]++;
-            len_extra_bits += LEN_EXTRA[ls];
-            off_extra_bits += OFF_EXTRA[os];
-        }
-    }
     f.litlen[256]++;
 
     u8 ll_lens[288]; u16 ll_codes[288];
@@ -551,21 +544,23 @@ static void flush_block(BitWriter& bw, const u8* block_data, size_t block_len,
         use_of_lens = of_lens; use_of_codes = of_codes;
     }
 
+    const u8* p = block_data;
     for (const Seq& s : seqs) {
         if (bw.overflow) return;
-        if (s.kind == 0) {
-            bw.add(use_ll_codes[s.off_or_lit], use_ll_lens[s.off_or_lit]);
-        } else {
-            unsigned ls = len_to_slot[s.len];
-            unsigned sym = 257 + ls;
-            u64 v = use_ll_codes[sym];
-            unsigned nb = use_ll_lens[sym];
-            v |= (u64)(s.len - LEN_BASE[ls]) << nb; nb += LEN_EXTRA[ls];
-            unsigned os = offset_slot(s.off_or_lit);
-            v |= (u64)use_of_codes[os] << nb; nb += use_of_lens[os];
-            v |= (u64)(s.off_or_lit - OFF_BASE[os]) << nb; nb += OFF_EXTRA[os];
-            bw.add(v, nb);
-        }
+        for (u32 i = 0; i < s.litrun; i++)
+            bw.add(use_ll_codes[p[i]], use_ll_lens[p[i]]);
+        p += s.litrun;
+        if (!s.len) break;
+        unsigned ls = len_to_slot[s.len];
+        unsigned sym = 257 + ls;
+        u64 v = use_ll_codes[sym];
+        unsigned nb = use_ll_lens[sym];
+        v |= (u64)(s.len - LEN_BASE[ls]) << nb; nb += LEN_EXTRA[ls];
+        unsigned os = offset_slot(s.off);
+        v |= (u64)use_of_codes[os] << nb; nb += use_of_lens[os];
+        v |= (u64)(s.off - OFF_BASE[os]) << nb; nb += OFF_EXTRA[os];
+        bw.add(v, nb);
+        p += s.len;
     }
     bw.add(use_ll_codes[256], use_ll_lens[256]);
 }
@@ -936,18 +931,30 @@ static size_t compress_near_optimal(int level, const u8* in, size_t n,
 
         // --- path -> seqs, flush ---
         seqs.clear();
+        Freqs fq;
+        u64 lxb = 0, oxb = 0;
+        u32 lrun = 0;
         for (size_t pos = 0; pos < blen; ) {
             if (choice_off[pos] == 0 || choice_len[pos] <= 1) {
-                seqs.push_back({0, 0, 0, in[block_start + pos]});
+                fq.litlen[in[block_start + pos]]++;
+                lrun++;
                 pos++;
             } else {
-                seqs.push_back({1, 0, choice_len[pos], choice_off[pos]});
-                pos += choice_len[pos];
+                u16 L = choice_len[pos];
+                unsigned ls = len_to_slot[L];
+                unsigned os = offset_slot(choice_off[pos]);
+                fq.litlen[257 + ls]++; fq.off[os]++;
+                lxb += LEN_EXTRA[ls]; oxb += OFF_EXTRA[os];
+                seqs.push_back({lrun, L, 0, choice_off[pos]});
+                lrun = 0;
+                pos += L;
             }
         }
+        seqs.push_back({lrun, 0, 0, 0});
         if (getenv("LDTPU_DEBUG_BLOCKS"))
             fprintf(stderr, "block %zu..%zu (%zu)\n", block_start, block_end, blen);
-        flush_block(bw, in + block_start, blen, seqs, block_end == n);
+        flush_block(bw, in + block_start, blen, seqs, fq, lxb, oxb,
+                    block_end == n);
         if (bw.overflow) return 0;
         block_start = block_end;
     }
@@ -978,6 +985,9 @@ static size_t compress_fastest(const u8* in, size_t n, u8* out,
     std::vector<Seq> seqs;
     seqs.reserve(SEQ_SOFT + 16);
     size_t in_next = 0;
+    Freqs f;
+    u64 lx_bits = 0, ox_bits = 0;
+    u32 litrun = 0;
 
     auto load32 = [&](size_t i) { u32 v; memcpy(&v, in + i, 4); return v; };
     auto extend = [&](size_t i, size_t j, u32 limit) -> u32 {
@@ -1000,7 +1010,8 @@ static size_t compress_fastest(const u8* in, size_t n, u8* out,
         seqs.clear();
         while (in_next < block_end && seqs.size() < SEQ_SOFT) {
             if (in_next >= end_matchable) {
-                seqs.push_back({0, 0, 0, in[in_next]});
+                f.litlen[in[in_next]]++;
+                litrun++;
                 in_next++;
                 continue;
             }
@@ -1024,7 +1035,12 @@ static size_t compress_fastest(const u8* in, size_t n, u8* out,
                 if (best >= NICE) break;
             }
             if (best >= 4) {
-                seqs.push_back({1, 0, (u16)best, boff});
+                unsigned ls = len_to_slot[best];
+                unsigned os = offset_slot(boff);
+                f.litlen[257 + ls]++; f.off[os]++;
+                lx_bits += LEN_EXTRA[ls]; ox_bits += OFF_EXTRA[os];
+                seqs.push_back({litrun, (u16)best, 0, boff});
+                litrun = 0;
                 size_t stop = std::min(in_next + best, end_matchable);
                 for (size_t p = in_next + 1; p < stop; p++) {
                     if (p - mf_base >= 32768) slide();
@@ -1034,12 +1050,17 @@ static size_t compress_fastest(const u8* in, size_t n, u8* out,
                 }
                 in_next += best;
             } else {
-                seqs.push_back({0, 0, 0, in[in_next]});
+                f.litlen[in[in_next]]++;
+                litrun++;
                 in_next++;
             }
         }
-        flush_block(bw, in + block_begin, in_next - block_begin, seqs,
-                    in_next == n);
+        seqs.push_back({litrun, 0, 0, 0});
+        litrun = 0;
+        flush_block(bw, in + block_begin, in_next - block_begin, seqs, f,
+                    lx_bits, ox_bits, in_next == n);
+        f = Freqs();
+        lx_bits = ox_bits = 0;
     }
     return bw.finish();
 }
@@ -1076,7 +1097,9 @@ extern "C" size_t ld_deflate_compress(int level, const u8* in, size_t n,
     size_t end_matchable = n >= 4 ? n - 3 : 0;
     size_t in_next = 0;
     BlockStats stats;
-    u32 lit_freq[256];
+    Freqs f;
+    u64 lx_bits = 0, ox_bits = 0;
+    u32 litrun = 0;
 
     auto insert_span = [&](size_t from, size_t to) {
         size_t stop = std::min(to, end_matchable);
@@ -1091,25 +1114,29 @@ extern "C" size_t ld_deflate_compress(int level, const u8* in, size_t n,
         size_t max_block_end = rem < SOFT_MAX + MIN_BLOCK ? n : in_next + SOFT_MAX;
         stats.reset();
         seqs.clear();
-        memset(lit_freq, 0, sizeof lit_freq);
         u32 min_len = (level == 1)
             ? 4
             : initial_min_len(in + in_next, max_block_end - in_next, cfg.depth);
         size_t next_recalc = in_next + std::min<size_t>(rem, 10000);
 
         auto choose_literal = [&](u8 b) {
-            seqs.push_back({0, 0, 0, b});
-            lit_freq[b]++;
+            f.litlen[b]++;
+            litrun++;
             stats.literal(b);
         };
         auto choose_match = [&](u32 len, u32 off) {
-            seqs.push_back({1, 0, (u16)len, off});
+            unsigned ls = len_to_slot[len];
+            unsigned os = offset_slot(off);
+            f.litlen[257 + ls]++; f.off[os]++;
+            lx_bits += LEN_EXTRA[ls]; ox_bits += OFF_EXTRA[os];
+            seqs.push_back({litrun, (u16)len, 0, off});
+            litrun = 0;
             stats.match(len);
         };
 
         do {
             if (in_next >= next_recalc && level != 1) {
-                min_len = recalc_min_len(lit_freq, cfg.depth);
+                min_len = recalc_min_len(f.litlen, cfg.depth);
                 next_recalc += std::min(n - next_recalc, in_next - block_begin);
             }
             if (in_next >= end_matchable) {
@@ -1186,8 +1213,12 @@ extern "C" size_t ld_deflate_compress(int level, const u8* in, size_t n,
         } while (in_next < max_block_end && seqs.size() < SEQ_CAP &&
                  !stats.should_end(in_next - block_begin, n - in_next));
 
-        flush_block(bw, in + block_begin, in_next - block_begin, seqs,
-                    in_next == n);
+        seqs.push_back({litrun, 0, 0, 0});
+        litrun = 0;
+        flush_block(bw, in + block_begin, in_next - block_begin, seqs, f,
+                    lx_bits, ox_bits, in_next == n);
+        f = Freqs();
+        lx_bits = ox_bits = 0;
     }
     return bw.finish();
 }
