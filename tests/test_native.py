@@ -128,3 +128,68 @@ class TestNativeDecompress:
             assert comp
             res, out, ain, aout = nb.deflate_decompress(comp, len(data), True)
             assert res == 0 and out == data, (n, level, kind)
+
+
+class TestDecoderEntryFormat:
+    """Targeted probes of the packed-entry decoder layout: literal values
+    whose bits overlap the EXCEPTIONAL/SUBTABLE flag positions, two-literal
+    main-table entries, and subtable-heavy (long-codeword) codes."""
+
+    def test_high_literals_flag_collision(self, rng):
+        # literals >= 0xC0 set bits 14+15 of a literal entry, which are the
+        # subtable-pointer flags on non-literal entries; adjacency of such
+        # literals exercises the pair-packing path too
+        data = rng.integers(0xC0, 0x100, size=65536, dtype=np.uint8).tobytes()
+        data += bytes([0xFF, 0xC0] * 20000)
+        for lvl in (1, 6, 9):
+            co = zlib.compressobj(lvl, zlib.DEFLATED, -15)
+            s = co.compress(data) + co.flush()
+            res, out, _, _ = ld.Decompressor().deflate_decompress(
+                s, len(data), known_size=True
+            )
+            assert res == ld.SUCCESS and out == data
+
+    def test_subtable_heavy_code(self, rng):
+        # a very skewed alphabet forces long (>11-bit) codewords for the
+        # rare symbols -> litlen subtable path; rare symbols > 0xC0 also
+        # collide with the flag bits through the subtable route
+        probs = np.full(256, 1.0)
+        probs[:4] = 60000.0
+        probs /= probs.sum()
+        data = rng.choice(256, size=1 << 18, p=probs).astype(np.uint8).tobytes()
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)
+        s = co.compress(data) + co.flush()
+        res, out, _, _ = ld.Decompressor().deflate_decompress(
+            s, len(data), known_size=True
+        )
+        assert res == ld.SUCCESS and out == data
+
+    def test_one_bit_literal_runs_near_output_end(self):
+        # degenerate 2-symbol alphabet -> 1-bit literal codes: the fastloop
+        # literal burst must respect the output margin exactly (regression
+        # for the capped-burst overcopy)
+        for n in (271, 272, 273, 300, 4096, 65536):
+            data = (b"\x00\x01" * (n // 2 + 1))[:n]
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)
+            s = co.compress(data) + co.flush()
+            res, out, _, _ = ld.Decompressor().deflate_decompress(
+                s, n, known_size=True
+            )
+            assert res == ld.SUCCESS and out == data
+            # exact-size known_size mode with one byte less must fail cleanly
+            res2, *_ = ld.Decompressor().deflate_decompress(
+                s, n - 1, known_size=True
+            )
+            assert res2 in (ld.INSUFFICIENT_SPACE, ld.BAD_DATA, ld.SHORT_OUTPUT)
+
+    def test_long_matches_after_literal_burst(self, rng):
+        # literal bursts feeding straight into 258-byte matches stress the
+        # burst-then-match margin accounting
+        piece = rng.integers(0, 256, size=300, dtype=np.uint8).tobytes()
+        data = (piece + piece * 30 + b"q") * 40
+        for lvl in (6, 12):
+            out = ld.Compressor(lvl).deflate_compress(data)
+            res, got, _, _ = ld.Decompressor().deflate_decompress(
+                out, len(data), known_size=True
+            )
+            assert res == ld.SUCCESS and got == data
