@@ -315,11 +315,14 @@ def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array,
     for ~17% more compress time (the levels >= 6 mode).  Same output
     contract as compress_chunk_static."""
     n = b.shape[0]
-    n_pad, _, _ = _segment_sizes(n)
+    n_pad, _, _ = _segment_sizes(n, wide=not (two_pass or hash3))
     sym_seg = _sym_seg(n_pad)
     bp, pos, commit_match, commit_lit, eff, dist = _parse_chunk(
         b, length, lazy=True, two_pass=two_pass, depth=depth, hash3=hash3,
-        wide_ext=wide_ext or two_pass or hash3
+        wide_ext=wide_ext or two_pass or hash3,
+        # single-pass tier: widen the matchfind segment instead of paying
+        # for a rescue pass (measured: +0.17 ratio points for ~2% speed)
+        wide_window=not (two_pass or hash3),
     )
 
     lslot, lbase, lextra = _length_slot(jnp.maximum(eff, 3))

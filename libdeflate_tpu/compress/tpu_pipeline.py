@@ -162,11 +162,16 @@ def _le32_words(b: jax.Array, extra_pad: int = 4) -> jax.Array:
     )
 
 
-def _segment_sizes(n: int) -> tuple[int, int, int]:
-    """(padded_n, sort_seg, fsm_seg) for a chunk of n positions."""
-    if n >= SORT_SEG:
-        np_ = -(-n // SORT_SEG) * SORT_SEG
-        return np_, SORT_SEG, FSM_SEG
+def _segment_sizes(n: int, wide: bool = False) -> tuple[int, int, int]:
+    """(padded_n, sort_seg, fsm_seg) for a chunk of n positions.  ``wide``
+    doubles the matchfind segment to 128 KiB (17-bit local positions, junk
+    bucket collapsed onto the top hash) — the single-pass tier's history
+    extension; the two-pass tiers get history from the rescue pass
+    instead."""
+    seg = 2 * SORT_SEG if wide else SORT_SEG
+    if n >= seg:
+        np_ = -(-n // seg) * seg
+        return np_, seg, FSM_SEG
     if n >= FSM_SEG:
         np_ = -(-n // FSM_SEG) * FSM_SEG
         return np_, np_, FSM_SEG
@@ -187,8 +192,10 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
     dist) with chain extension applied."""
     n = h.shape[0]
     m = n // seg
+    pos_bits = max(POS_BITS, (seg - 1).bit_length())
+    junk = (1 << HASH_ORDER) - 1 if pos_bits >= 17 else (1 << HASH_ORDER)
     lp = jax.lax.broadcasted_iota(jnp.uint32, (m, seg), 1)
-    key = (h.reshape(m, seg).astype(jnp.uint32) << jnp.uint32(POS_BITS)) | lp
+    key = (h.reshape(m, seg).astype(jnp.uint32) << jnp.uint32(pos_bits)) | lp
     deep = w8 is not None
     ops = (key, w.reshape(m, seg), w4.reshape(m, seg))
     if deep:
@@ -196,8 +203,8 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
     sorted_ops = jax.lax.sort(ops, num_keys=1, dimension=1)
     sk, sw, sw4 = sorted_ops[:3]
     sw8, sw12 = (sorted_ops[3], sorted_ops[4]) if deep else (None, None)
-    shash = sk >> jnp.uint32(POS_BITS)
-    slp = sk & jnp.uint32((1 << POS_BITS) - 1)
+    shash = sk >> jnp.uint32(pos_bits)
+    slp = sk & jnp.uint32((1 << pos_bits) - 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (m, seg), 1)
 
     def tz_bytes(x):
@@ -214,10 +221,10 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
     def probe(d):
         same = (
             (shash == jnp.roll(shash, d, axis=1))
-            & (shash != jnp.uint32(JUNK_HASH))
+            & (shash != jnp.uint32(junk))
             & (col >= d)
         )
-        # segments are 2x the window, so candidates must be range-checked
+        # segments are 2-4x the window, so candidates must be range-checked
         dist = jnp.where(same, slp - jnp.roll(slp, d, axis=1), jnp.uint32(WINDOW + 1))
         same = same & (dist <= WINDOW)
         x0 = sw ^ jnp.roll(sw, d, axis=1)
@@ -474,14 +481,16 @@ def _hash3_matchfind(h3: jax.Array, words: jax.Array, seg: int):
     n = h3.shape[0]
     m = n // seg
     lp = jax.lax.broadcasted_iota(jnp.uint32, (m, seg), 1)
-    key = (h3.reshape(m, seg) << jnp.uint32(POS_BITS)) | lp
+    pos_bits = max(POS_BITS, (seg - 1).bit_length())
+    junk = (1 << HASH_ORDER) - 1 if pos_bits >= 17 else (1 << HASH_ORDER)
+    key = (h3.reshape(m, seg) << jnp.uint32(pos_bits)) | lp
     sk, sw = jax.lax.sort((key, words.reshape(m, seg)), num_keys=1, dimension=1)
-    shash = sk >> jnp.uint32(POS_BITS)
-    slp = sk & jnp.uint32((1 << POS_BITS) - 1)
+    shash = sk >> jnp.uint32(pos_bits)
+    slp = sk & jnp.uint32((1 << pos_bits) - 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (m, seg), 1)
     same = (
         (shash == jnp.roll(shash, 1, axis=1))
-        & (shash != jnp.uint32(JUNK_HASH))
+        & (shash != jnp.uint32(junk))
         & (col >= 1)
     )
     eq3 = same & (
@@ -498,7 +507,7 @@ def _hash3_matchfind(h3: jax.Array, words: jax.Array, seg: int):
 
 def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
                  two_pass: bool = False, depth: int = 2, hash3: bool = False,
-                 wide_ext: bool = False):
+                 wide_ext: bool = False, wide_window: bool = False):
     """Shared greedy LZ parse: matchfind (sorted + RLE paths), combine,
     segment-FSM commit (optionally lazy).  With ``two_pass``, a second
     matchfind over half-segment-shifted windows guarantees every position
@@ -508,7 +517,8 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
     (bp, pos, commit_match, commit_lit, eff, dist) over the padded
     position array."""
     n = b.shape[0]
-    n_pad, sort_seg, fsm_seg = _segment_sizes(n)
+    n_pad, sort_seg, fsm_seg = _segment_sizes(n, wide=wide_window)
+    junk_val = (1 << HASH_ORDER) - 1 if sort_seg > (1 << 16) else JUNK_HASH
     bp = jnp.pad(b, (0, n_pad - n))
     pos = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0]
     live = pos < length
@@ -522,13 +532,13 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
         jnp.uint32
     )
     # positions without 4 valid bytes go to a junk bucket no real hash hits
-    h = jnp.where(pos + MIN_MATCH <= length, h, jnp.uint32(JUNK_HASH))
+    h = jnp.where(pos + MIN_MATCH <= length, h, jnp.uint32(junk_val))
 
     mlen_s, dist_s = _sorted_matchfind(h, words_u32, w4, w8, w12, sort_seg,
                                        depth=depth, wide_ext=wide_ext)
     if two_pass and sort_seg >= 2 * FSM_SEG:
         half = sort_seg // 2
-        junk = jnp.full(half, JUNK_HASH, jnp.uint32)
+        junk = jnp.full(half, junk_val, jnp.uint32)
         zpad = jnp.zeros(half, jnp.uint32)
         # the rescue pass only recovers matches pass 1 missed entirely, so a
         # shallower LCP cap (8 + chain extension) keeps it 2 payloads cheaper
@@ -572,7 +582,7 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
             ((words_u32 & jnp.uint32(0xFFFFFF)) * jnp.uint32(MULT))
             >> jnp.uint32(32 - HASH_ORDER)
         ).astype(jnp.uint32)
-        h3 = jnp.where(pos + 3 <= length, h3, jnp.uint32(JUNK_HASH))
+        h3 = jnp.where(pos + 3 <= length, h3, jnp.uint32(junk_val))
         d3 = _hash3_matchfind(h3, words_u32, sort_seg)
         use3 = (mlen_s < MIN_MATCH) & (d3 > 0) & (cap >= 3) & (min_len <= 4)
         mlen_s = jnp.where(use3, 3, mlen_s)
