@@ -85,26 +85,23 @@ def build_reference() -> None:
         pass
 
 
-def measure_baseline(corpus_path: str, level: int = LEVEL):
-    """libdeflate compress GB/s + ratio at `level` via the reference
-    benchmark binary.  Returns (gbps, ratio) or (None, None)."""
-    build_reference()
+def measure_baseline_once(corpus_path: str, level: int = LEVEL):
+    """One libdeflate compress measurement (GB/s, ratio) via the reference
+    benchmark binary, or (None, None)."""
     if not os.path.exists(REF_BENCH):
         return None, None
     try:
         gbps = ratio = None
-        for _ in range(3):  # best-of-3, like scripts/deflate_benchmarks.sh
-            out = subprocess.run(
-                [REF_BENCH, f"-{level}", "-s", str(CHUNK), corpus_path],
-                capture_output=True, text=True, timeout=600,
-            ).stdout
-            for line in out.splitlines():
-                if "Compression time" in line:
-                    # e.g. "Compression time: 123.45 ms (270.00 MB/s)"
-                    g = float(line.split("(")[1].split(" MB/s")[0]) / 1000.0
-                    gbps = g if gbps is None else max(gbps, g)
-                if "Compressed" in line and "=>" in line:
-                    ratio = float(line.split("(")[1].split("%")[0]) / 100.0
+        out = subprocess.run(
+            [REF_BENCH, f"-{level}", "-s", str(CHUNK), corpus_path],
+            capture_output=True, text=True, timeout=600,
+        ).stdout
+        for line in out.splitlines():
+            if "Compression time" in line:
+                # e.g. "Compression time: 123.45 ms (270.00 MB/s)"
+                gbps = float(line.split("(")[1].split(" MB/s")[0]) / 1000.0
+            if "Compressed" in line and "=>" in line:
+                ratio = float(line.split("(")[1].split("%")[0]) / 100.0
         return gbps, ratio
     except Exception:
         return None, None
@@ -146,9 +143,13 @@ def main() -> None:
     w, t = compress_chunks_dynamic(*batches[0])
     _ = np.asarray(t)
 
-    # best-of-3, matching the baseline measurement protocol
+    # Interleave our repetitions with the reference's so both sides sample
+    # the same host-load noise (sequential phases measured up to +-20%
+    # apart on this box); best-of-4 each.
+    build_reference()
     dt = float("inf")
-    for _ in range(3):
+    base_gbps, base_ratio = None, None
+    for _ in range(4):
         t0 = time.perf_counter()
         outs = []
         for b in batches:
@@ -156,6 +157,10 @@ def main() -> None:
         for _, t in outs:
             _ = np.asarray(t)
         dt = min(dt, time.perf_counter() - t0)
+        g, r = measure_baseline_once(corpus_path)
+        if g is not None:
+            base_gbps = g if base_gbps is None else max(base_gbps, g)
+            base_ratio = r
     nbytes = len(batches) * BATCH * CHUNK
     gbps = nbytes / dt / 1e9
 
@@ -175,7 +180,6 @@ def main() -> None:
     )
     our_ratio = comp_all / nbytes
 
-    base_gbps, base_ratio = measure_baseline(corpus_path)
     if base_gbps is None:
         base_gbps, base_ratio = FALLBACK_BASELINE_GBPS, FALLBACK_BASELINE_RATIO
     print(

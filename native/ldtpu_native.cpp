@@ -304,10 +304,16 @@ struct Parser {
         if (limit < 3) return 0;
         u32 best = best_in, boff = 0;
         u32 nice_c = std::min(nice, limit);
+        // hash3 singleton: a length-3 candidate only, via one 3-byte
+        // compare — no extension (the reference's hc_matchfinder does the
+        // same, lib/hc_matchfinder.h:213-248; longer matches always have a
+        // hash4 chain entry of their own)
         s32 j = head3[h3(i)];
-        if (j >= 0 && i - (size_t)j <= 32768) {
-            u32 l = extend(i, j, limit);
-            if (l >= 3 && l > best) { best = l; boff = (u32)(i - j); }
+        if (best < 3 && j >= 0 && i - (size_t)j <= 32768) {
+            if ((load32((size_t)j) & 0xFFFFFF) == (load32(i) & 0xFFFFFF)) {
+                best = 3;
+                boff = (u32)(i - j);
+            }
         }
         j = head4[h4(i)];
         u32 first4 = load32(i);
