@@ -71,6 +71,16 @@ FSM_SEG = 512      # greedy-commit segment (parse truncation boundary)
 MAX_LEN = 258
 
 
+def _seg_key_params(seg: int) -> tuple[int, int]:
+    """(pos_bits, junk_hash) for a matchfind segment size.  17-bit local
+    positions collapse the junk bucket onto the top real hash value (15+17
+    fills the u32 key exactly); junk entries still sort after all real
+    positions and matches at them die on the cap-<4 clamp."""
+    pos_bits = max(POS_BITS, (seg - 1).bit_length())
+    junk = (1 << HASH_ORDER) - 1 if pos_bits >= 17 else (1 << HASH_ORDER)
+    return pos_bits, junk
+
+
 # --------------------------------------------------------------------------
 # Arithmetic codeword helpers (no table gathers)
 # --------------------------------------------------------------------------
@@ -192,8 +202,7 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
     dist) with chain extension applied."""
     n = h.shape[0]
     m = n // seg
-    pos_bits = max(POS_BITS, (seg - 1).bit_length())
-    junk = (1 << HASH_ORDER) - 1 if pos_bits >= 17 else (1 << HASH_ORDER)
+    pos_bits, junk = _seg_key_params(seg)
     lp = jax.lax.broadcasted_iota(jnp.uint32, (m, seg), 1)
     key = (h.reshape(m, seg).astype(jnp.uint32) << jnp.uint32(pos_bits)) | lp
     deep = w8 is not None
@@ -481,8 +490,7 @@ def _hash3_matchfind(h3: jax.Array, words: jax.Array, seg: int):
     n = h3.shape[0]
     m = n // seg
     lp = jax.lax.broadcasted_iota(jnp.uint32, (m, seg), 1)
-    pos_bits = max(POS_BITS, (seg - 1).bit_length())
-    junk = (1 << HASH_ORDER) - 1 if pos_bits >= 17 else (1 << HASH_ORDER)
+    pos_bits, junk = _seg_key_params(seg)
     key = (h3.reshape(m, seg) << jnp.uint32(pos_bits)) | lp
     sk, sw = jax.lax.sort((key, words.reshape(m, seg)), num_keys=1, dimension=1)
     shash = sk >> jnp.uint32(pos_bits)
@@ -518,7 +526,7 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
     position array."""
     n = b.shape[0]
     n_pad, sort_seg, fsm_seg = _segment_sizes(n, wide=wide_window)
-    junk_val = (1 << HASH_ORDER) - 1 if sort_seg > (1 << 16) else JUNK_HASH
+    junk_val = _seg_key_params(sort_seg)[1]
     bp = jnp.pad(b, (0, n_pad - n))
     pos = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0]
     live = pos < length
@@ -565,10 +573,17 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
     # lib/deflate_compress.c:2295-2353): on low-entropy alphabets short
     # matches cost more bits than the literals they replace
     stride = max(1, n_pad // 4096)
-    sample = bp[::stride][:4096].astype(jnp.int32)
+    alphabet = jnp.arange(256, dtype=jnp.int32)[None, :]
+    s_str = bp[::stride][:4096].astype(jnp.int32)
+    v_str = (jnp.arange(4096, dtype=jnp.int32) * stride) < length
+    s_dense = bp[:4096].astype(jnp.int32)
+    v_dense = jnp.arange(4096, dtype=jnp.int32) < length
+    # padding past `length` must not count as alphabet (short tail chunks
+    # would otherwise report a tiny alphabet and over-raise min_len); the
+    # dense window covers short chunks, the strided one long chunks
     seen = jnp.any(
-        sample[:, None] == jnp.arange(256, dtype=jnp.int32)[None, :], axis=0
-    )
+        v_str[:, None] & (s_str[:, None] == alphabet), axis=0
+    ) | jnp.any(v_dense[:, None] & (s_dense[:, None] == alphabet), axis=0)
     used = jnp.sum(seen.astype(jnp.int32))
     min_len = jnp.where(
         used <= 5, 9,

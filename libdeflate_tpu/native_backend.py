@@ -22,6 +22,24 @@ _lib = None
 _tried = False
 
 
+def _cpu_tag() -> str:
+    """Host identity for the cached -march=native build: a .so built on one
+    CPU must not be loaded on another (SIGILL risk)."""
+    import hashlib
+    import platform
+
+    bits = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features", "model name")):
+                    bits += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(bits.encode()).hexdigest()[:16]
+
+
 def _build() -> bool:
     # -march=native matters for the decoder's shift-heavy bit cursor (SHRX
     # etc. — the analogue of the reference's BMI2 decode variant, measured
@@ -31,10 +49,24 @@ def _build() -> bool:
     for cmd in (base[:2] + ["-march=native"] + base[2:], base):
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+            with open(_SO + ".cputag", "w") as f:
+                f.write(_cpu_tag())
             return True
         except Exception:
             continue
     return False
+
+
+def _cached_build_usable() -> bool:
+    if not os.path.exists(_SO):
+        return False
+    if os.path.exists(_SRC) and os.path.getmtime(_SO) <= os.path.getmtime(_SRC):
+        return False
+    try:
+        with open(_SO + ".cputag") as f:
+            return f.read().strip() == _cpu_tag()
+    except OSError:
+        return False  # unknown provenance: rebuild for this host
 
 
 def get_lib():
@@ -48,10 +80,7 @@ def get_lib():
         _tried = True
         if os.environ.get("LIBDEFLATE_TPU_NO_NATIVE"):
             return None
-        if not os.path.exists(_SO) or (
-            os.path.exists(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
-        ):
+        if not _cached_build_usable():
             if not _build():
                 return None
         try:

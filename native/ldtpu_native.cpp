@@ -731,7 +731,6 @@ static size_t compress_near_optimal(int level, const u8* in, size_t n,
         // --- collect all matches per position (with online split check) ---
         mstart.assign(blen + 1, 0);
         mlist.clear();
-        size_t match_pos_count = 0;
         // Observe the item stream, not the position stream: a match
         // suppresses further observations for the bytes it covers
         // (lib/deflate_compress.c:3693-3704) — observing every overlapping
@@ -761,7 +760,6 @@ static size_t compress_near_optimal(int level, const u8* in, size_t n,
             if (i >= next_observation) {
                 if (best_here >= 4) {
                     stats.match(best_here);
-                    match_pos_count++;
                     next_observation = i + best_here;
                 } else {
                     stats.literal(in[i]);

@@ -191,3 +191,58 @@ class TestRatioRegression:
             jnp.asarray(bufs), jnp.asarray(lens), jnp.ones(3, bool)
         )
         assert (np.asarray(t_dyn) <= np.asarray(t_sta) + 16).all()
+
+
+def test_wide_window_single_pass_roundtrip(rng):
+    """The single-pass tier's 128 KiB matchfind segments (17-bit local
+    positions; junk bucket collapsed onto the top real hash) only engage for
+    chunks >= 128 KiB — exercise that path explicitly with content whose
+    matches span farther back than a 64 KiB segment could reach."""
+    import zlib
+
+    import jax.numpy as jnp
+
+    from libdeflate_tpu.compress.tpu_dynamic import compress_chunks_dynamic
+    from libdeflate_tpu.compress.tpu_pipeline import device_stream_to_bytes
+
+    n = 1 << 18  # 256 KiB: two wide segments
+    piece = rng.integers(0, 256, size=50000, dtype=np.uint8).tobytes()
+    data = (
+        piece
+        + rng.integers(97, 123, size=30000, dtype=np.uint8).tobytes()
+        + piece
+        + (b"the quick brown fox jumps over the lazy dog. " * 3000)
+    )[:n]
+    bufs = np.frombuffer(data, np.uint8)[None, :].copy()
+    w, t = compress_chunks_dynamic(
+        jnp.asarray(bufs), jnp.full(1, n, jnp.int32), jnp.ones(1, bool)
+    )
+    stream = device_stream_to_bytes(np.asarray(w)[0], np.asarray(t)[0])
+    assert zlib.decompressobj(-15).decompress(stream) == data
+
+
+def test_wide_window_partial_tail_chunk(rng):
+    """Short live prefix in a large padded chunk: the adaptive min-match
+    sampling must ignore padding bytes (regression: padding zeros counted
+    as the alphabet and over-raised min_len on tail chunks)."""
+    import zlib
+
+    import jax.numpy as jnp
+
+    from libdeflate_tpu.compress.tpu_dynamic import compress_chunks_dynamic
+    from libdeflate_tpu.compress.tpu_pipeline import device_stream_to_bytes
+
+    n_buf = 1 << 18
+    live = 2000
+    data = (b"abcdefgh_ijklmnop " * 200)[:live]
+    buf = np.zeros(n_buf, np.uint8)
+    buf[:live] = np.frombuffer(data, np.uint8)
+    w, t = compress_chunks_dynamic(
+        jnp.asarray(buf[None, :]), jnp.full(1, live, jnp.int32),
+        jnp.ones(1, bool),
+    )
+    stream = device_stream_to_bytes(np.asarray(w)[0], np.asarray(t)[0])
+    out = zlib.decompressobj(-15).decompress(stream)
+    assert out == data
+    # repetitive 18-byte-period text must actually compress (matches kept)
+    assert len(stream) < live // 2
