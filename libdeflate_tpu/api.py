@@ -73,7 +73,10 @@ class Compressor:
             if out_nbytes_avail is None
             else out_nbytes_avail - zlib_fmt.MIN_OVERHEAD,
         )
-        if raw == b"" and len(data) > 0:
+        if raw == b"":
+            # the engine's empty return always means "did not fit" — even an
+            # empty input costs a 5-byte stored block (the reference's
+            # 0-return contract, libdeflate.h:70-88)
             return b""
         return (
             zlib_fmt.make_header(self.level)
@@ -95,7 +98,7 @@ class Compressor:
             if out_nbytes_avail is None
             else out_nbytes_avail - gzip_fmt.MIN_OVERHEAD,
         )
-        if raw == b"" and len(data) > 0:
+        if raw == b"":
             return b""
         return (
             gzip_fmt.make_header(self.level)

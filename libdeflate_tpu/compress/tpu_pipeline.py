@@ -575,9 +575,9 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
     stride = max(1, n_pad // 4096)
     alphabet = jnp.arange(256, dtype=jnp.int32)[None, :]
     s_str = bp[::stride][:4096].astype(jnp.int32)
-    v_str = (jnp.arange(4096, dtype=jnp.int32) * stride) < length
+    v_str = (jnp.arange(s_str.shape[0], dtype=jnp.int32) * stride) < length
     s_dense = bp[:4096].astype(jnp.int32)
-    v_dense = jnp.arange(4096, dtype=jnp.int32) < length
+    v_dense = jnp.arange(s_dense.shape[0], dtype=jnp.int32) < length
     # padding past `length` must not count as alphabet (short tail chunks
     # would otherwise report a tiny alphabet and over-raise min_len); the
     # dense window covers short chunks, the strided one long chunks

@@ -110,12 +110,26 @@ def available() -> bool:
     return get_lib() is not None
 
 
-def crc32(data: bytes, crc: int = 0) -> int:
-    return int(get_lib().ld_crc32(crc & 0xFFFFFFFF, data, len(data)))
+def _buf_ptr(data):
+    """(pointer, nbytes) for bytes or any buffer-protocol object, without
+    copying — a numpy view keeps its (possibly misaligned) address, which
+    the checksum program's -m option relies on."""
+    if isinstance(data, bytes):
+        return data, len(data)
+    import numpy as np
+
+    arr = np.frombuffer(memoryview(data).cast("B"), np.uint8)
+    return ctypes.cast(arr.ctypes.data, ctypes.c_char_p), arr.nbytes
 
 
-def adler32(data: bytes, adler: int = 1) -> int:
-    return int(get_lib().ld_adler32(adler & 0xFFFFFFFF, data, len(data)))
+def crc32(data, crc: int = 0) -> int:
+    ptr, n = _buf_ptr(data)
+    return int(get_lib().ld_crc32(crc & 0xFFFFFFFF, ptr, n))
+
+
+def adler32(data, adler: int = 1) -> int:
+    ptr, n = _buf_ptr(data)
+    return int(get_lib().ld_adler32(adler & 0xFFFFFFFF, ptr, n))
 
 
 def deflate_compress(data: bytes, level: int, out_nbytes_avail: int) -> bytes:

@@ -30,7 +30,7 @@ def adler32(data, adler: int = 1) -> int:
     from .. import native_backend
 
     if native_backend.available():
-        return native_backend.adler32(bytes(data), adler)
+        return native_backend.adler32(data, adler)
     buf = np.frombuffer(memoryview(data), dtype=np.uint8)
     n = buf.shape[0]
     s1 = adler & 0xFFFF
@@ -81,7 +81,7 @@ def crc32(data, crc: int = 0) -> int:
     from .. import native_backend
 
     if native_backend.available():
-        return native_backend.crc32(bytes(data), crc)
+        return native_backend.crc32(data, crc)
     buf = np.frombuffer(memoryview(data), dtype=np.uint8)
     n = buf.shape[0]
     reg = np.uint32(~crc & 0xFFFFFFFF)

@@ -18,7 +18,7 @@ import numpy as np
 from ..compress.emit import BitWriter
 from ..compress.tpu_pipeline import device_stream_to_bytes
 from ..formats import gzip_fmt, zlib_fmt
-from ..ops.checksums_host import ADLER_MOD
+from ..ops.checksums_host import adler32_combine
 from ..ops.crc32_math import crc32_combine
 from . import mesh as mesh_mod
 
@@ -50,13 +50,7 @@ def stored_fragment(chunk: bytes, bfinal: bool) -> bytes:
 def _adler_combine_chunks(adlers: np.ndarray, lengths: np.ndarray, n: int) -> int:
     a = 1
     for i in range(n):
-        b = int(adlers[i])
-        l2 = int(lengths[i])
-        s1a, s2a = a & 0xFFFF, (a >> 16) & 0xFFFF
-        s1b, s2b = b & 0xFFFF, (b >> 16) & 0xFFFF
-        s1 = (s1a + s1b - 1) % ADLER_MOD
-        s2 = (s2a + s2b + (l2 % ADLER_MOD) * (s1a - 1)) % ADLER_MOD
-        a = (s2 << 16) | s1
+        a = adler32_combine(a, int(adlers[i]), int(lengths[i]))
     return a
 
 
@@ -80,11 +74,13 @@ def deflate_compress_dp(
         return stored_fragment(b"", True), 0, 1
 
     bufs, lengths, bfinal, nchunks = mesh_mod.pad_chunks(data, chunk_size, ndev)
-    words, total_bits, crcs, adlers, _ = mesh_mod.compress_chunks_dp(
+    words, total_bits, crcs, adlers, all_bits = mesh_mod.compress_chunks_dp(
         mesh, bufs, lengths, bfinal, level=level
     )
     words = np.asarray(words)
-    total_bits = np.asarray(total_bits)
+    # the all-gathered sizes are the global byte layout every participant
+    # sees (the piece a multi-host assembly needs); use them for assembly
+    total_bits = np.asarray(all_bits)
     crcs = np.asarray(crcs)
     adlers = np.asarray(adlers)
 

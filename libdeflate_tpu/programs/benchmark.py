@@ -54,6 +54,36 @@ def make_engines(level: int, fmt: str):
         return out
     decomp["ours"] = _ours_d
 
+    def _tpu_d(blob, out_size):
+        # device decoder (correctness-grade; for differential testing, not
+        # speed — see PERF_NOTES.md on the device-decode ceiling)
+        import numpy as np
+
+        from ..decompress import tpu as dtpu
+        from ..formats import gzip_fmt, zlib_fmt
+
+        if fmt == "zlib":
+            if zlib_fmt.parse_header(blob) is None:
+                raise ValueError("bad zlib header")
+            body = blob[2:-4]
+        elif fmt == "gzip":
+            hdr = gzip_fmt.parse_header(blob)
+            if hdr is None:
+                raise ValueError("bad gzip header")
+            body = blob[hdr:-8]
+        else:
+            body = blob
+        arr = np.frombuffer(body, np.uint8)[None, :].copy()
+        out, lens, _consumed, res = dtpu.decompress_chunks(
+            arr, np.array([len(body)], np.int32), out_size
+        )
+        res = int(np.asarray(res)[0])
+        if res != 0:
+            raise ValueError(f"device decompress failed: {res}")
+        return np.asarray(out)[0, : int(np.asarray(lens)[0])].tobytes()
+
+    decomp["ours-tpu"] = _tpu_d
+
     zlevel = min(max(level, 0), 9)
     if fmt == "deflate":
         comp["zlib"] = lambda data: (
@@ -76,6 +106,13 @@ def run(path: str, level: int, chunk_size: int, fmt: str,
     with open(path, "rb") as f:
         data = f.read()
     comp, decomp = make_engines(level, fmt)
+    if comp_engine not in comp or decomp_engine not in decomp:
+        print(
+            f"unknown engine (compress: {sorted(comp)}, "
+            f"decompress: {sorted(decomp)})",
+            file=sys.stderr,
+        )
+        return 2
     cfn, dfn = comp[comp_engine], decomp[decomp_engine]
 
     total_in = total_out = 0

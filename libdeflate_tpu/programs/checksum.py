@@ -46,7 +46,17 @@ def main(argv=None) -> int:
     for path in files:
         data = sys.stdin.buffer.read() if path == "-" else open(path, "rb").read()
         if misalign:
-            data = (b"\x00" * misalign + data)[misalign:]
+            # a genuinely misaligned view: checksum the tail of a padded
+            # buffer through the buffer protocol (slicing back to bytes
+            # would copy to an aligned allocation and test nothing — the
+            # reference's -m points its kernels at base+misalign too,
+            # programs/checksum.c)
+            import numpy as np
+
+            padded = np.frombuffer(b"\x00" * misalign + data, np.uint8)
+            view = padded[misalign:]
+            assert view.ctypes.data % 8 == (padded.ctypes.data + misalign) % 8
+            data = view
         t0 = time.perf_counter()
         if use_tpu:
             import jax.numpy as jnp

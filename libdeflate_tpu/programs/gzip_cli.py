@@ -44,9 +44,13 @@ def do_decompress(data: bytes, quiet: bool) -> bytes | None:
     pos = 0
     while pos < len(data):
         member = data[pos:]
-        # ISIZE hint from the last 4 bytes of the member region
+        # ISIZE hint from the last 4 bytes of the member region (for
+        # multi-member input this is the LAST member's ISIZE, so treat it as
+        # a hint only: start from a modest allocation bounded by the
+        # expansion cap and grow on INSUFFICIENT_SPACE, like the reference's
+        # doubling loop, programs/gzip.c:211-273)
         hint = int.from_bytes(member[-4:], "little") if len(member) >= 4 else 0
-        size = max(hint, 64)
+        size = max(min(hint, 1 << 24), 64)
         size = min(size, MAX_EXPANSION * max(len(member), 1))
         while True:
             res, buf, ain, aout = d.gzip_decompress(member, size)
@@ -118,6 +122,9 @@ def main(argv=None) -> int:
     argv = list(sys.argv if argv is None else argv)
     prog = os.path.basename(argv[0]) if argv else PROG
     args = argv[1:]
+    if args and args[0] == "gunzip":  # `python -m ... gzip_cli gunzip`
+        prog = "gunzip"
+        args = args[1:]
     opts = {
         "level": 6, "c": False, "d": "gunzip" in prog, "f": False,
         "tpu": False,
@@ -150,14 +157,20 @@ def main(argv=None) -> int:
             while j < len(body):
                 ch = body[j]
                 if ch in "cdfknqt":
-                    if ch == "n":
-                        pass  # we never store name/timestamp anyway
-                    else:
-                        opts[ch if ch != "n" else "q"] = True
+                    if ch != "n":  # -n accepted; we never store name/mtime
+                        opts[ch] = True
                 elif ch == "S":
-                    opts["S"] = body[j + 1 :] or args[i + 1]
-                    if not body[j + 1 :]:
+                    if body[j + 1 :]:
+                        opts["S"] = body[j + 1 :]
+                    elif i + 1 < len(args):
+                        opts["S"] = args[i + 1]
                         i += 1
+                    else:
+                        msg(opts["q"], "-S requires a suffix argument")
+                        return 1
+                    if not opts["S"]:
+                        msg(opts["q"], "invalid suffix")
+                        return 1
                     j = len(body)
                     break
                 else:
@@ -174,7 +187,13 @@ def main(argv=None) -> int:
         opts["c"] = True
     rc = 0
     for f in files:
-        rc |= process_file(f, opts)
+        try:
+            rc |= process_file(f, opts)
+        except OSError as e:
+            # missing/unreadable/unwritable files: report and continue with
+            # the next argument, like programs/gzip.c
+            msg(opts["q"], f"{f}: {e.strerror or e}")
+            rc |= 1
     return rc
 
 
