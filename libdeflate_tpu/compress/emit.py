@@ -63,23 +63,35 @@ class BitWriter:
 
     def add_words(self, words: np.ndarray, nbits: int) -> None:
         """Append ``nbits`` packed LSB-first bits held in a uint32 array."""
-        if self.bitcount == 0:
-            full_bytes = nbits // 8
-            raw = words.tobytes()[:full_bytes]
-            self.out += raw
-            rem = nbits - 8 * full_bytes
-            if rem:
-                self.bitbuf = words.tobytes()[full_bytes] & ((1 << rem) - 1)
-                self.bitcount = rem
-        else:
-            # Slow path: merge through the int accumulator word by word.
-            remaining = nbits
-            for w in words:
-                take = min(32, remaining)
-                if take <= 0:
-                    break
-                self.add(int(w) & ((1 << take) - 1), take)
-                remaining -= take
+        if self.bitcount >= 8:
+            # drain whole pending bytes first so the merge shift stays < 8
+            while self.bitcount >= 8:
+                self.out.append(self.bitbuf & 0xFF)
+                self.bitbuf >>= 8
+                self.bitcount -= 8
+        if self.bitcount:
+            # vector shift-merge to byte alignment: prepend the pending bits
+            # and shift the whole array once (blocks almost always start
+            # unaligned — the 3-bit block header — so this IS the hot path)
+            bc = self.bitcount
+            w64 = words.astype(np.uint64)
+            lo = (w64 << np.uint64(bc)) & np.uint64(0xFFFFFFFF)
+            hi = w64 >> np.uint64(32 - bc)
+            merged = np.empty(words.shape[0] + 1, dtype=np.uint64)
+            merged[0] = self.bitbuf & ((1 << bc) - 1)
+            merged[1:] = hi
+            merged[: words.shape[0]] |= lo
+            words = merged.astype(np.uint32)
+            nbits += bc
+            self.bitbuf = 0
+            self.bitcount = 0
+        full_bytes = nbits // 8
+        raw = words.tobytes()[:full_bytes]
+        self.out += raw
+        rem = nbits - 8 * full_bytes
+        if rem:
+            self.bitbuf = words.tobytes()[full_bytes] & ((1 << rem) - 1)
+            self.bitcount = rem
 
     def align_to_byte(self) -> None:
         pad = (-self.bitcount) % 8
@@ -109,7 +121,9 @@ def pack_bits_vectorized(values: np.ndarray, nbits: np.ndarray) -> tuple[np.ndar
     nbits = nbits.astype(np.int64)
     offs = np.concatenate([[0], np.cumsum(nbits)])
     total = int(offs[-1])
-    nwords = (total + 31) // 32 + 1
+    # +2: a zero-width item can start exactly at `total` on a 32-bit
+    # boundary, and its (empty) hi half still scatters into word_idx + 1
+    nwords = (total + 31) // 32 + 2
     words = np.zeros(nwords, dtype=np.uint64)
     word_idx = (offs[:-1] >> 5).astype(np.int64)
     shift = (offs[:-1] & 31).astype(np.uint64)

@@ -40,7 +40,7 @@ def _compress_stored(data: bytes) -> bytes:
     return w.finish()
 
 
-def _split_items_by_input_len(kinds, vals, offs, soft_max: int):
+def _split_items_by_input_len(kinds, vals, soft_max: int):
     """Yield item ranges so each block covers ~soft_max input bytes."""
     spans = np.where(kinds == 1, vals, 1).astype(np.int64)
     csum = np.cumsum(spans)
@@ -92,7 +92,7 @@ def deflate_compress(data: bytes, level: int) -> bytes:
     w = BitWriter()
     n_items = len(kinds)
     for start, cut, in_base, in_end in _split_items_by_input_len(
-        kinds, vals, offs, SOFT_MAX_BLOCK_LENGTH
+        kinds, vals, SOFT_MAX_BLOCK_LENGTH
     ):
         flush_block(
             w,

@@ -188,7 +188,9 @@ def parse(data: bytes, params: LevelParams) -> tuple[np.ndarray, np.ndarray, np.
 
         if lazy:
             # Slide the match forward while a strictly better one exists at
-            # the next position (reference lazy loop, deflate_compress.c:2604).
+            # the next position (reference lazy loop, deflate_compress.c:2604);
+            # lazy2 (levels 8-9) looks one further position ahead at quarter
+            # depth with a stricter threshold (deflate_compress.c:2742-2766).
             while length < nice and i + 1 < end_matchable:
                 nlen, noff = mf.longest_match(
                     i + 1, h4, h3, max(depth // 2, 1), nice, length
@@ -202,8 +204,23 @@ def parse(data: bytes, params: LevelParams) -> tuple[np.ndarray, np.ndarray, np.
                     i += 1
                     mf.insert(i, h4, h3)
                     length, offset = nlen, noff
-                else:
-                    break
+                    continue
+                if params.kind == "lazy2" and i + 2 < end_matchable:
+                    n2, o2 = mf.longest_match(
+                        i + 2, h4, h3, max(depth // 4, 1), nice, length
+                    )
+                    if n2 > length and (
+                        4 * (n2 - length) + _bsr(offset) - _bsr(o2) > 6
+                    ):
+                        kinds.extend((0, 0))
+                        vals.extend((data[i], data[i + 1]))
+                        offs.extend((0, 0))
+                        mf.insert(i + 1, h4, h3)
+                        mf.insert(i + 2, h4, h3)
+                        i += 2
+                        length, offset = n2, o2
+                        continue
+                break
 
         kinds.append(1)
         vals.append(length)

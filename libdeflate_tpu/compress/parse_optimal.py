@@ -40,20 +40,27 @@ OPT_PARAMS = {
 _MAX_MATCHES_PER_POS = 32
 
 
-def _collect_matches(data: bytes, block_start: int, block_end: int, depth: int, nice: int):
+def _collect_matches(data: bytes, block_start: int, block_end: int, depth: int, nice: int,
+                     state=None):
     """All useful matches per position, sorted by increasing length.
 
     Like bt_matchfinder_get_matches (lib/bt_matchfinder.h:296-315), only
     strictly-longer successive matches are kept (each with its nearest
     offset).  Hash chains stand in for the binary tree on the host path.
+    ``state`` is an optional (h4, h3, mf) tuple carried across blocks so the
+    whole-buffer hashes and the chain tables are built once per call, not
+    once per 300 KB block.
     """
     n = len(data)
-    h4, h3 = parse_host._hashes(data)
-    mf = parse_host.HashChains(data)
-    # Pre-insert history before the block (window context).
-    for p in range(max(block_start - 32768, 0), block_start):
-        if p < n - 3:
-            mf.insert(p, h4, h3)
+    if state is None:
+        h4, h3 = parse_host._hashes(data)
+        mf = parse_host.HashChains(data)
+        # Pre-insert history before the block (window context).
+        for p in range(max(block_start - 32768, 0), block_start):
+            if p < n - 3:
+                mf.insert(p, h4, h3)
+    else:
+        h4, h3, mf = state
 
     matches: list[list[tuple[int, int]]] = [[] for _ in range(block_end - block_start)]
     i = block_start
@@ -78,7 +85,8 @@ def _collect_matches(data: bytes, block_start: int, block_end: int, depth: int, 
                 j = int(mf.prev4[j])
                 d -= 1
             mf.insert(i, h4, h3)
-        matches[i - block_start] = found[:_MAX_MATCHES_PER_POS]
+        # `found` is in increasing length order: keep the longest ones
+        matches[i - block_start] = found[-_MAX_MATCHES_PER_POS:]
         # Like the reference, skip deep insertion inside very long matches.
         if found and found[-1][0] >= nice:
             skip_to = min(i + found[-1][0], block_end, n - 3)
@@ -89,7 +97,7 @@ def _collect_matches(data: bytes, block_start: int, block_end: int, depth: int, 
             i = skip_to
         else:
             i += 1
-    return matches
+    return matches, (h4, h3, mf)
 
 
 def _default_costs():
@@ -135,6 +143,10 @@ def _min_cost_path(data, block_start, block_end, matches, lit_cost, len_sym_cost
         best = int(lit_cost[data[abs_pos]] + cost[pos + 1])
         blen_choice, boff_choice = 1, 0
         for (mlen, moff) in matches[pos]:
+            # matches may extend past the block boundary; the DP must not
+            mlen = min(mlen, blen - pos)
+            if mlen < 3:
+                continue
             oslot = int(offset_to_slot(np.int64(moff)))
             ocost = int(off_sym_cost[oslot]) + int(OFFSET_SLOT_EXTRA[oslot]) * BIT_COST
             ls = slot_bases[slot_bases <= mlen]
@@ -178,9 +190,12 @@ def compress_near_optimal(data: bytes, level: int) -> bytes:
     n = len(data)
     w = BitWriter()
     block_start = 0
+    mf_state = None
     while block_start < n or n == 0:
         block_end = min(block_start + SOFT_MAX_BLOCK_LENGTH, n)
-        matches = _collect_matches(data, block_start, block_end, p["depth"], p["nice"])
+        matches, mf_state = _collect_matches(
+            data, block_start, block_end, p["depth"], p["nice"], mf_state
+        )
         lit_cost, len_sym_cost, off_sym_cost = _default_costs()
 
         best_items = None
