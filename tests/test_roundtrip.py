@@ -125,3 +125,33 @@ class TestRatioVsZlib:
         ours = len(ld.Compressor(12).deflate_compress(text))
         theirs = len(zlib.compress(text, 9)) - 6
         assert ours <= theirs * 1.05, (ours, theirs)
+
+
+class TestMultiBlockPythonPath:
+    """Regression coverage for the forced-dispatch (pure-Python) compressor
+    on inputs that span multiple 300 KB blocks and hit emit boundaries."""
+
+    def test_near_optimal_multi_block(self, rng, monkeypatch):
+        monkeypatch.setenv("LIBDEFLATE_TPU_NO_NATIVE", "1")
+        import importlib
+        import zlib
+
+        from libdeflate_tpu.compress import parse_optimal
+
+        data = b"The quick brown fox jumps over the lazy dog. " * 16000  # 720 KB
+        out = parse_optimal.compress_near_optimal(data, 10)
+        assert zlib.decompressobj(-15).decompress(out) == data
+
+    def test_emit_boundary_sweep(self, rng):
+        # random small inputs across levels: a zero-width item landing on a
+        # 32-bit boundary of the total once crashed pack_bits_vectorized
+        import zlib
+
+        from libdeflate_tpu.compress import engine
+
+        for trial in range(24):
+            n = int(rng.integers(1, 3000))
+            data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            for lvl in (1, 6, 9):
+                out = engine.deflate_compress(data, lvl)
+                assert zlib.decompressobj(-15).decompress(out) == data
