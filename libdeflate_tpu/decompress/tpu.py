@@ -299,8 +299,11 @@ def deflate_decompress_chunk(data: jax.Array, in_nbytes: jax.Array, out_cap: int
         )
         s["out_pos"] = jnp.where(good, s["out_pos"] + length, s["out_pos"])
         s["bit_pos"] = jnp.where(good, (byte + 4 + length) * 8, s["bit_pos"])
+        # check order parity with the native decoder (and the reference):
+        # a valid header that doesn't fit the output reports INSUFFICIENT
+        # even if the input is also truncated
         s["result"] = jnp.where(
-            good, s["result"], jnp.where(ok & fits_in, RES_INSUFFICIENT, RES_BAD)
+            good, s["result"], jnp.where(ok & ~fits_out, RES_INSUFFICIENT, RES_BAD)
         ).astype(jnp.int32)
         s["running"] = good
         return s
@@ -426,8 +429,16 @@ def deflate_decompress_chunk(data: jax.Array, in_nbytes: jax.Array, out_cap: int
     return final["out"][:out_cap], final["out_pos"], consumed, result
 
 
+@functools.lru_cache(maxsize=16)
+def _chunks_decoder(out_cap: int):
+    fn = jax.vmap(lambda d, n: deflate_decompress_chunk(d, n, out_cap))
+    return jax.jit(fn)
+
+
 def decompress_chunks(bufs, in_lens, out_cap: int):
     """vmapped chunk decoder: uint8[B, N], int32[B] ->
-    (uint8[B, out_cap], out_lens, consumed, results)."""
-    fn = jax.vmap(lambda d, n: deflate_decompress_chunk(d, n, out_cap))
-    return jax.jit(fn)(bufs, in_lens)
+    (uint8[B, out_cap], out_lens, consumed, results).
+
+    The jitted wrapper is cached per out_cap so repeated calls reuse the
+    compiled executable instead of re-tracing."""
+    return _chunks_decoder(out_cap)(bufs, in_lens)

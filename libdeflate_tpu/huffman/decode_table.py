@@ -2,9 +2,12 @@
 
 Role parity with the reference's ``build_decode_table``
 (``lib/deflate_decompress.c:721-1004``): build a one-level-of-subtables decode
-table from canonical codeword lengths, accepting exactly the incomplete-code
-cases zlib accepts (empty code, or a single length-1 codeword — rules at
-``lib/deflate_decompress.c:803-853``).
+table from canonical codeword lengths, accepting the incomplete-code cases
+the reference accepts — what zlib accepts "plus a bit more": an empty code or
+a single length-1 codeword is mapped to a complete 1-bit code on the used
+symbol (rules at ``lib/deflate_decompress.c:803-853``), so a stream that
+actually USES an undefined codeword of an accepted-incomplete code decodes
+like the reference rather than erroring like zlib.
 
 The packed entry layout here is our own, chosen so the same uint32 arrays can
 be consumed by the NumPy host decoder and by JAX/Pallas device decoders with

@@ -14,9 +14,11 @@
 //    greedy (levels 1-4) and lazy (5-9) parsers, per-block dynamic/static/
 //    stored cost comparison, canonical length-limited Huffman codes via
 //    depth-clamped tree + Kraft fixup, precode RLE.
-//  * decompressor: packed uint32 decode-table entries (same layout as
-//    libdeflate_tpu/huffman/decode_table.py so host/device decoders share a
-//    single documented format), one-level subtables, 64-bit bit buffer.
+//  * decompressor: packed uint32 decode-table entries (its own layout,
+//    documented at the Decompressor section below — the Python host decoder
+//    keeps a separate, independently-documented format in
+//    libdeflate_tpu/huffman/decode_table.py), one-level subtables, 64-bit
+//    bit buffer.
 //  * checksums: slice-by-8 CRC-32; Adler-32 with 5552-byte mod batching.
 
 #include <cstdint>
@@ -28,29 +30,37 @@
 #include <algorithm>
 
 using u8 = uint8_t;  using u16 = uint16_t;  using u32 = uint32_t;  using u64 = uint64_t;
+// The word-at-a-time bit buffer I/O (BitWriter::add, BitReader::refill_fast)
+// stores/loads the u64 accumulator with memcpy and relies on little-endian
+// byte order, like the reference's fast paths.
+static_assert(__BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__,
+              "word-at-a-time bit I/O assumes a little-endian host");
 using s16 = int16_t;  using s32 = int32_t;
 
 // ---------------------------------------------------------------------------
 // checksums
 // ---------------------------------------------------------------------------
-static u32 crc_table[8][256];
-static bool crc_init_done = false;
-
-static void crc_init_tables() {
-    if (crc_init_done) return;
-    for (u32 b = 0; b < 256; b++) {
-        u32 c = b;
-        for (int k = 0; k < 8; k++) c = (c >> 1) ^ ((c & 1) ? 0xEDB88320u : 0);
-        crc_table[0][b] = c;
+// One-time tables initialize via C++ magic statics: first calls can arrive
+// concurrently from several Python threads (ctypes releases the GIL), and a
+// plain-bool guard would race on weakly-ordered hosts.
+struct CrcTables {
+    u32 t[8][256];
+    CrcTables() {
+        for (u32 b = 0; b < 256; b++) {
+            u32 c = b;
+            for (int k = 0; k < 8; k++) c = (c >> 1) ^ ((c & 1) ? 0xEDB88320u : 0);
+            t[0][b] = c;
+        }
+        for (int k = 1; k < 8; k++)
+            for (u32 b = 0; b < 256; b++)
+                t[k][b] = (t[k-1][b] >> 8) ^ t[0][t[k-1][b] & 0xFF];
     }
-    for (int t = 1; t < 8; t++)
-        for (u32 b = 0; b < 256; b++)
-            crc_table[t][b] = (crc_table[t-1][b] >> 8) ^ crc_table[0][crc_table[t-1][b] & 0xFF];
-    crc_init_done = true;
-}
+};
+
+static const CrcTables _crc_tabs;  // constructed at dlopen time
 
 extern "C" u32 ld_crc32(u32 init, const u8* p, size_t n) {
-    crc_init_tables();
+    const auto& crc_table = _crc_tabs.t;
     u32 c = ~init;
     while (n >= 8) {
         c ^= (u32)p[0] | ((u32)p[1] << 8) | ((u32)p[2] << 16) | ((u32)p[3] << 24);
@@ -92,23 +102,27 @@ static const u16 OFF_BASE[30] = {1,2,3,4,5,7,9,13,17,25,33,49,65,97,129,193,257,
 static const u8  OFF_EXTRA[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,7,7,8,8,9,9,10,10,11,11,12,12,13,13};
 static const u8  PRECODE_PERM[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
 
-static u8 len_to_slot[259];
-static u8 off_slot_small[257];
-static bool slot_init_done = false;
+struct SlotTables {
+    u8 len_to_slot[259];
+    u8 off_slot_small[257];
+    SlotTables() {
+        for (int s = 0; s < 29; s++) {
+            int hi = (s + 1 < 29) ? LEN_BASE[s+1] : 259;
+            for (int l = LEN_BASE[s]; l < hi && l <= 258; l++) len_to_slot[l] = (u8)s;
+        }
+        len_to_slot[258] = 28;
+        for (int s = 0; s < 30; s++) {
+            int hi = (s + 1 < 30) ? OFF_BASE[s+1] : 257;
+            for (int o = OFF_BASE[s]; o < hi && o <= 256; o++) off_slot_small[o] = (u8)s;
+        }
+    }
+};
 
-static void slot_init() {
-    if (slot_init_done) return;
-    for (int s = 0; s < 29; s++) {
-        int hi = (s + 1 < 29) ? LEN_BASE[s+1] : 259;
-        for (int l = LEN_BASE[s]; l < hi && l <= 258; l++) len_to_slot[l] = (u8)s;
-    }
-    len_to_slot[258] = 28;
-    for (int s = 0; s < 30; s++) {
-        int hi = (s + 1 < 30) ? OFF_BASE[s+1] : 257;
-        for (int o = OFF_BASE[s]; o < hi && o <= 256; o++) off_slot_small[o] = (u8)s;
-    }
-    slot_init_done = true;
-}
+// constructed at dlopen time (single-threaded), so lookups are plain loads
+static const SlotTables _slots;
+static const u8 (&len_to_slot)[259] = _slots.len_to_slot;
+static const u8 (&off_slot_small)[257] = _slots.off_slot_small;
+static inline void slot_init() {}  // kept for call-site symmetry
 
 static inline int bsr32(u32 x) { return 31 - __builtin_clz(x); }
 
@@ -117,6 +131,23 @@ static inline unsigned offset_slot(u32 off) {
     u32 o1 = off - 1;
     int k = bsr32(o1);
     return 2 * k + ((o1 >> (k - 1)) & 1);
+}
+
+// Word-at-a-time common-prefix extension (the lz_extend role,
+// lib/matchfinder_common.h:178-222); `start` skips already-verified bytes.
+static inline u32 lz_extend(const u8* in, size_t i, size_t j, u32 limit,
+                            u32 start = 0) {
+    u32 l = start;
+    while (l + 8 <= limit) {
+        u64 a, b;
+        memcpy(&a, in + i + l, 8);
+        memcpy(&b, in + j + l, 8);
+        u64 x = a ^ b;
+        if (x) return l + (__builtin_ctzll(x) >> 3);
+        l += 8;
+    }
+    while (l < limit && in[i + l] == in[j + l]) l++;
+    return l;
 }
 
 static inline u32 rev_bits(u32 v, unsigned n) {
@@ -181,17 +212,8 @@ static void make_huffman(const u32* freq, int nsyms, int max_len,
                 if (cnt[l]) { cnt[l]--; cnt[l+1]++; kraft -= 1L << (max_len - l - 1); break; }
             }
         }
-        while (kraft < full) {  // underfull (from clamping): promote
-            for (int l = max_len; l >= 1; l--) {
-                if (cnt[l] && kraft + (1L << (max_len - l)) <= full) {
-                    // shorten one code of length l to... simpler: add capacity by
-                    // moving one code from l to l-? Instead: lengthen codespace by
-                    // assigning an extra slot at max_len.
-                    break;
-                }
-            }
-            // standard approach: give remaining space to deepest codes by
-            // shortening: find a code at length l whose shortening keeps kraft <= full
+        while (kraft < full) {  // underfull (from clamping): give the spare
+            // codespace back by shortening a code whose promotion still fits
             bool changed = false;
             for (int l = max_len; l >= 2; l--) {
                 if (cnt[l] && kraft + (1L << (max_len - l)) <= full) {
@@ -263,8 +285,6 @@ struct BitWriter {
 static const int HASH4_ORDER = 15, HASH3_ORDER = 14;
 static const u32 HASH_MULT = 0x1E35A7BDu;
 
-struct Item { u32 litlen; u32 len; u32 off; };  // litlen: byte or 257+slot marker unused
-
 // A sequence item: `litrun` literals (read from the block data at emission
 // time -- the reference's litrunlen design, lib/deflate_compress.c:165-190)
 // followed by a match of `len` at `off`; len == 0 terminates the block.
@@ -288,15 +308,7 @@ struct Parser {
         head3[h3(i)] = (s32)i;
     }
     inline u32 extend(size_t i, size_t j, u32 limit) const {
-        u32 l = 0;
-        while (l + 8 <= limit) {
-            u64 a, b; memcpy(&a, in + i + l, 8); memcpy(&b, in + j + l, 8);
-            u64 x = a ^ b;
-            if (x) return l + (__builtin_ctzll(x) >> 3);
-            l += 8;
-        }
-        while (l < limit && in[i + l] == in[j + l]) l++;
-        return l;
+        return lz_extend(in, i, j, limit);
     }
     // best match at i; returns length (0 if < min useful) and offset
     inline u32 longest(size_t i, u32 best_in, int depth, u32 nice, u32* off_out) const {
@@ -437,6 +449,23 @@ static LevelCfg level_cfg(int level) {
     }
 }
 
+// RFC 1951 static litlen/offset codes, built once (shared by the compressor's
+// static-block path; the decompressor builds its packed decode tables
+// separately)
+struct StaticCodes {
+    u8 ll_lens[288]; u16 ll_codes[288];
+    u8 of_lens[32];  u16 of_codes[32];
+    StaticCodes() {
+        for (int i = 0; i < 288; i++) ll_lens[i] = (i < 144) ? 8 : (i < 256) ? 9 : (i < 280) ? 7 : 8;
+        for (int i = 0; i < 32; i++) of_lens[i] = 5;
+        int bl[16] = {0}; for (int i = 0; i < 288; i++) bl[ll_lens[i]]++;
+        u32 code = 0, nc[16] = {0};
+        for (int l = 1; l <= 15; l++) { code = (code + bl[l-1]) << 1; nc[l] = code; }
+        for (int i = 0; i < 288; i++) ll_codes[i] = (u16)rev_bits(nc[ll_lens[i]]++, ll_lens[i]);
+        for (int i = 0; i < 32; i++) of_codes[i] = (u16)rev_bits(i, 5);
+    }
+};
+
 // ---- block flush -----------------------------------------------------------
 struct Freqs { u32 litlen[288] = {0}; u32 off[32] = {0}; };
 
@@ -520,24 +549,12 @@ static void flush_block(BitWriter& bw, const u8* block_data, size_t block_len,
 
     const u8* use_ll_lens; const u16* use_ll_codes;
     const u8* use_of_lens; const u16* use_of_codes;
-    static u8 s_ll_lens[288]; static u16 s_ll_codes[288];
-    static u8 s_of_lens[32];  static u16 s_of_codes[32];
-    static bool s_done = false;
-    if (!s_done) {
-        for (int i = 0; i < 288; i++) s_ll_lens[i] = (i < 144) ? 8 : (i < 256) ? 9 : (i < 280) ? 7 : 8;
-        for (int i = 0; i < 32; i++) s_of_lens[i] = 5;
-        int bl[16] = {0}; for (int i = 0; i < 288; i++) bl[s_ll_lens[i]]++;
-        u32 code = 0, nc[16] = {0};
-        for (int l = 1; l <= 15; l++) { code = (code + bl[l-1]) << 1; nc[l] = code; }
-        for (int i = 0; i < 288; i++) s_ll_codes[i] = (u16)rev_bits(nc[s_ll_lens[i]]++, s_ll_lens[i]);
-        for (int i = 0; i < 32; i++) s_of_codes[i] = (u16)rev_bits(i, 5);
-        s_done = true;
-    }
+    static const StaticCodes s_codes;  // magic static: thread-safe init
 
     if (st_cost <= dyn_cost) {
         bw.add(is_final ? 1 : 0, 1); bw.add(1, 2);
-        use_ll_lens = s_ll_lens; use_ll_codes = s_ll_codes;
-        use_of_lens = s_of_lens; use_of_codes = s_of_codes;
+        use_ll_lens = s_codes.ll_lens; use_ll_codes = s_codes.ll_codes;
+        use_of_lens = s_codes.of_lens; use_of_codes = s_codes.of_codes;
     } else {
         bw.add(is_final ? 1 : 0, 1); bw.add(2, 2);
         bw.add(num_ll - 257, 5); bw.add(num_of - 1, 5); bw.add(num_explicit - 4, 4);
@@ -617,15 +634,7 @@ struct BTMF {
     inline u32 h4(size_t i) const { return (load32(i) * HASH_MULT) >> (32 - HB); }
     inline u32 h3(size_t i) const { return ((load32(i) & 0xFFFFFF) * HASH_MULT) >> (32 - HASH3_ORDER); }
     inline u32 ext(size_t i, size_t j, u32 limit) const {
-        u32 l = 0;
-        while (l + 8 <= limit) {
-            u64 a, b; memcpy(&a, in + i + l, 8); memcpy(&b, in + j + l, 8);
-            u64 x = a ^ b;
-            if (x) return l + (__builtin_ctzll(x) >> 3);
-            l += 8;
-        }
-        while (l < limit && in[i + l] == in[j + l]) l++;
-        return l;
+        return lz_extend(in, i, j, limit);
     }
     void slide() {
         auto sub = [](std::vector<s16>& v) {
@@ -995,17 +1004,7 @@ static size_t compress_fastest(const u8* in, size_t n, u8* out,
 
     auto load32 = [&](size_t i) { u32 v; memcpy(&v, in + i, 4); return v; };
     auto extend = [&](size_t i, size_t j, u32 limit) -> u32 {
-        u32 l = 4;
-        while (l + 8 <= limit) {
-            u64 a, b;
-            memcpy(&a, in + i + l, 8);
-            memcpy(&b, in + j + l, 8);
-            u64 x = a ^ b;
-            if (x) return l + (__builtin_ctzll(x) >> 3);
-            l += 8;
-        }
-        while (l < limit && in[i + l] == in[j + l]) l++;
-        return l;
+        return lz_extend(in, i, j, limit, 4);  // first 4 bytes pre-verified
     };
 
     while (in_next < n && !bw.overflow) {
@@ -1261,12 +1260,15 @@ enum : u32 {
 #define LITLEN_TB 11
 #endif
 static constexpr unsigned LTB = LITLEN_TB;           // litlen main-table bits
-static constexpr unsigned LENOUGH = (1u << LTB) + 2342;
+// total litlen table bound: main table + worst-case subtable space (294
+// entries at table_bits 11 — the reference's ENOUGH(288,11,15) = 2342
+// includes the 2048 main entries)
+static constexpr unsigned LENOUGH = (1u << LTB) + 294;
 
 struct DecTables {
-    u32 litlen[LENOUGH];
-    u32 off[402];
-    u32 pre[128];
+    alignas(64) u32 litlen[LENOUGH];
+    alignas(64) u32 off[402];
+    alignas(64) u32 pre[128];
 };
 
 static inline u32 dec_entry(int role, int sym, u32 l) {
