@@ -37,8 +37,9 @@ from libdeflate_tpu.formats.deflate import deflate_compress_bound
 
 def gen_data(rng: np.random.Generator, max_len: int = 1 << 16) -> bytes:
     # occasionally exceed SOFT_MAX_BLOCK_LENGTH so multi-block paths (block
-    # splitting, DP block caps) get fuzzed too
-    if int(rng.integers(0, 16)) == 0:
+    # splitting, DP block caps) get fuzzed too — but never escalate past a
+    # caller's tighter cap (the device target uses fixed 8 KiB shapes)
+    if max_len >= (1 << 16) and int(rng.integers(0, 16)) == 0:
         max_len = 1 << 20
     n = int(rng.integers(0, max_len))
     kind = int(rng.integers(0, 5))
