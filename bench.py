@@ -181,6 +181,15 @@ def main() -> None:
     our_ratio = comp_all / nbytes
 
     if base_gbps is None:
+        # Make the stale-baseline case impossible to miss: the JSON line
+        # still prints (the driver requires it) but stderr carries a loud
+        # warning and the metric name records the canned provenance.
+        print(
+            "WARNING: reference build/measure FAILED — vs_baseline uses the "
+            f"canned constant {FALLBACK_BASELINE_GBPS} GB/s recorded in round 1, "
+            "NOT a live measurement",
+            file=sys.stderr,
+        )
         base_gbps, base_ratio = FALLBACK_BASELINE_GBPS, FALLBACK_BASELINE_RATIO
     print(
         json.dumps(

@@ -80,8 +80,15 @@ def fuzz_decompress(rng: np.random.Generator) -> None:
     except zlib.error:
         z_ok = False
         oracle = None
-    if res == ld.SUCCESS and z_ok and oracle is not None:
-        assert out == oracle[: len(out)] or True  # sizes may differ on tail
+    if res == ld.SUCCESS:
+        # Accepting a stream zlib rejects outright is a red flag: the
+        # acceptance rules (incl. the two documented incomplete-code
+        # laxness cases) are modeled on zlib's own, so zlib accepts every
+        # stream we do (cf. programs/test_incomplete_codes.c, which proves
+        # zlib-compatibility of the lax cases).
+        assert z_ok, f"we SUCCESS-decode, zlib rejects: {blob.hex()}"
+        m = min(len(out), len(oracle))
+        assert out[:m] == oracle[:m], f"prefix mismatch: {blob.hex()}"
     # wrappers on raw garbage
     for fn in (d.zlib_decompress, d.gzip_decompress):
         r2, *_ = fn(blob, out_cap, known_size=False)

@@ -111,7 +111,8 @@ class TestInvalidStreams:
         d = ld.Decompressor()
         res, *_ = d.deflate_decompress(bad, 10)
         assert res == ld.BAD_DATA
-        assert zlib.decompressobj(-15).flush or True  # zlib agrees (documented)
+        with pytest.raises(zlib.error):  # zlib agrees: invalid stored lengths
+            zlib.decompressobj(-15).decompress(bad)
 
     def test_offset_before_start(self):
         # Static block: a match whose offset exceeds bytes produced.
@@ -136,9 +137,13 @@ class TestInvalidStreams:
         assert res == ld.BAD_DATA
 
     def test_zlib_rejects_same(self, rng):
-        # Differential: random garbage either fails in both or decodes in both.
+        # Differential: random garbage must never be SUCCESS-decoded by us
+        # while zlib rejects it outright (the reference's acceptance rules,
+        # incomplete-code laxness included, are modeled on zlib's own:
+        # lib/deflate_decompress.c:803-853 and test_incomplete_codes.c prove
+        # zlib accepts those same streams).  When both accept, outputs must
+        # agree on the common prefix.
         d = ld.Decompressor()
-        agree = 0
         for _ in range(200):
             blob = rng.integers(0, 256, size=int(rng.integers(1, 50)), dtype=np.uint8).tobytes()
             res, out, ain, aout = d.deflate_decompress(blob, 1 << 16)
@@ -146,12 +151,11 @@ class TestInvalidStreams:
                 zout = zlib.decompressobj(-15).decompress(blob, 1 << 16)
                 zok = True
             except zlib.error:
-                zok = False
-            if res == ld.SUCCESS and zok:
-                agree += 1
-            # our decoder accepting something zlib rejects outright would be
-            # a red flag unless it's the documented incomplete-code laxness
-        assert True
+                zout, zok = None, False
+            if res == ld.SUCCESS:
+                assert zok, f"we accept, zlib rejects: {blob.hex()}"
+                m = min(len(out), len(zout))
+                assert out[:m] == zout[:m], f"output mismatch: {blob.hex()}"
 
 
 class TestWrappers:
