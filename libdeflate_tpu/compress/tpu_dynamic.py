@@ -266,16 +266,16 @@ def _sym_seg(n_pad: int) -> int:
     return n_pad // 2
 
 
-def _sort_syms(sym: jax.Array, seg: int):
-    """Segment sort of sym<<15|pos keys (combined 316-symbol alphabet).
-    Returns (sorted keys [m,seg], per-row boundary starts [m, NSYM_ALL+1],
-    global hist [NSYM_ALL])."""
+def _sort_syms(sym: jax.Array, seg: int, nsym: int = NSYM_ALL):
+    """Segment sort of sym<<16|pos keys (default: the combined 316-symbol
+    alphabet).  Returns (sorted keys [m,seg], per-row boundary starts
+    [m, nsym+1], global hist [nsym])."""
     n = sym.shape[0]
     m = n // seg
     lp = jax.lax.broadcasted_iota(jnp.uint32, (m, seg), 1)
     key = (sym.reshape(m, seg).astype(jnp.uint32) << jnp.uint32(SYM_POS_BITS)) | lp
     (sk,) = jax.lax.sort((key,), num_keys=1, dimension=1)
-    bounds = jnp.arange(NSYM_ALL + 1, dtype=jnp.uint32) << jnp.uint32(SYM_POS_BITS)
+    bounds = jnp.arange(nsym + 1, dtype=jnp.uint32) << jnp.uint32(SYM_POS_BITS)
     starts = jax.vmap(
         lambda row: jnp.searchsorted(row, bounds, side="left")
     )(sk).astype(jnp.int32)
@@ -283,12 +283,13 @@ def _sort_syms(sym: jax.Array, seg: int):
     return sk, starts, hist
 
 
-def _translate(sk: jax.Array, starts: jax.Array, table: jax.Array, seg: int):
+def _translate(sk: jax.Array, starts: jax.Array, table: jax.Array, seg: int,
+               nsym: int = NSYM_ALL):
     """Per-position packed code via boundary-delta scatter + row prefix sum
     (exact: partial delta sums telescope to a table entry < 2^19)."""
     m = sk.shape[0]
-    tpad = jnp.concatenate([jnp.zeros(1, jnp.int32), table[:NSYM_ALL]])
-    deltas = jnp.broadcast_to((tpad[1:] - tpad[:-1])[None, :], (m, NSYM_ALL))
+    tpad = jnp.concatenate([jnp.zeros(1, jnp.int32), table[:nsym]])
+    deltas = jnp.broadcast_to((tpad[1:] - tpad[:-1])[None, :], (m, nsym))
     s0 = starts[:, :-1]
     in_row = s0 < seg          # a start == seg would wrap: drop (absent tail)
     deltas = jnp.where(in_row, deltas, 0)
@@ -316,7 +317,6 @@ def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array,
     contract as compress_chunk_static."""
     n = b.shape[0]
     n_pad, _, _ = _segment_sizes(n, wide=not (two_pass or hash3))
-    sym_seg = _sym_seg(n_pad)
     bp, pos, commit_match, commit_lit, eff, dist = _parse_chunk(
         b, length, lazy=True, two_pass=two_pass, depth=depth, hash3=hash3,
         wide_ext=wide_ext or two_pass or hash3,
@@ -324,6 +324,21 @@ def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array,
         # for a rescue pass (measured: +0.17 ratio points for ~2% speed)
         wide_window=not (two_pass or hash3),
     )
+    refine_passes = 16 if (two_pass or hash3) else 0  # quality tiers only
+    return emit_dynamic_block(
+        bp, bfinal, commit_match, commit_lit, eff, dist, n, n_pad,
+        refine_passes=refine_passes,
+    )
+
+
+def emit_dynamic_block(bp, bfinal, commit_match, commit_lit, eff, dist,
+                       n: int, n_pad: int, refine_passes: int = 0):
+    """Entropy-code and pack one chunk's committed items into a
+    byte-aligned DEFLATE fragment (dynamic or static block, whichever is
+    cheaper) — the device deflate_flush_block
+    (lib/deflate_compress.c:1706-2038).  Shared by the greedy/lazy parser
+    above and the min-cost DP parser (tpu_optimal.py)."""
+    sym_seg = _sym_seg(n_pad)
 
     lslot, lbase, lextra = _length_slot(jnp.maximum(eff, 3))
     oslot, obase, oextra = _offset_slot(jnp.maximum(dist, 1))
@@ -351,7 +366,6 @@ def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array,
     hist_dist = hist_dist.at[0].add(jnp.where(hist_dist[0] == 0, 1, 0))
     hist_dist = hist_dist.at[1].add(jnp.where(hist_dist[1] == 0, 1, 0))
 
-    refine_passes = 16 if (two_pass or hash3) else 0  # quality tiers only
     lit_lens, ok_l = _build_code_lens(hist_lit, NSYM, refine_passes)
     dist_lens, ok_d = _build_code_lens(hist_dist, NDIST, refine_passes)
     t_lit = _canonical_table(lit_lens, NSYM)

@@ -1,0 +1,271 @@
+"""Min-cost DP parse on the TPU — the device near-optimal quality tier.
+
+TPU re-derivation of the reference's near-optimal parser
+(lib/deflate_compress.c:3327-3399 `deflate_find_min_cost_path`, driven by
+`deflate_compress_near_optimal` at 3592-3849): a shortest-path computation
+over positions where edges are literals and match truncations.  The C code
+walks a per-block node array backwards with a ~29-way inner min over
+cached bt_matchfinder candidates; that regular sequential scan is exactly
+the shape `lax.scan` runs at ~1-3 us/step — *vectorized across every
+segment of every chunk in the batch at once*.
+
+Design points, all driven by the measured chip cost model (PERF_NOTES.md):
+
+- **Fixed length ladder.**  The DP reads D[t+len] for candidate lengths.
+  Per-lane lengths would make that a gather (slow); instead candidate
+  matches are evaluated at the fixed ladder of slot-top lengths
+  {3..10, 12, 14, ..., 258} (truncating a match to any shorter length is
+  always valid, and a slot-top wastes no extra-bit range).  Every read
+  D[t+f] then has a *scalar* index — a cheap dynamic row slice from the
+  circular cost window.  Long matches truncated to a ladder rung are
+  recovered by continuation: the remainder at the same distance is
+  itself a candidate at t+f (same source run), so chains re-join.
+- **Circular cost window.**  The backwards costs D[t..t+258] live in a
+  [512, lanes] carry indexed by (t & 511); each step writes one row
+  (scalar index) and reads ~1+|ladder| rows (scalar indices).  No
+  per-lane dynamic indexing anywhere.
+- **Two candidates (+ len-3).**  The sorted matchfinder keeps the best
+  and the best-with-a-different-distance match per position (their
+  offset costs differ), plus an optional hash3 len-3 short-offset
+  candidate — the truncated analogue of the bt matchfinder's full
+  candidate list.
+- **Entropy-seeded costs.**  Literal costs come from the chunk's own
+  byte histogram (computed by the same segment-sort machinery used for
+  symbol translation — one extra byte sort, zero gathers), quantized to
+  1/16-bit units (the reference's BIT_COST).  Length/offset symbol costs
+  are seeded from compact defaults (cf. the reference's default cost
+  model at lib/deflate_compress.c:2986-3102) — measured on the bench
+  corpus, one seeded pass recovers most of the iterated-refinement gain
+  at a fraction of the cost.
+
+Segments are independent (S = 1024 positions): matches are truncated at
+segment ends by the ladder feasibility mask, and the commit FSM
+(tpu_pipeline._greedy_commit) replays the DP's chosen chain exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .tpu_pipeline import (
+    MAX_LEN,
+    _greedy_commit,
+    _length_slot,
+    _offset_slot,
+    _parse_candidates,
+    _segment_sizes,
+)
+from .tpu_dynamic import _sort_syms, _translate, _sym_seg, emit_dynamic_block
+
+# Slot-top candidate lengths: singles 3..10 (slots 0-7), then the top of
+# each extra-bit band (base + 2^eb - 1) so no extra-bit range is wasted,
+# then 258 (slot 28, zero extra bits).
+LEN_LADDER = (3, 4, 5, 6, 7, 8, 9, 10, 12, 14, 16, 18, 22, 26, 30, 34,
+              42, 50, 58, 66, 82, 98, 114, 130, 162, 194, 226, 258)
+
+DP_SEG = 1024          # DP/commit segment (positions)
+_WIN = 512             # circular cost-window rows (>= 258 + 1, power of 2)
+BIT = 16               # cost unit = 1/16 bit (the reference's BIT_COST)
+
+# Seeded symbol costs (1/16-bit units).  Length/dist symbol seeds fall
+# between the static code (7/5 bits) and typical dynamic codes; tuned on
+# the bench corpus.
+LEN_SYM_COST = 7 * BIT
+DIST_SYM_COST = 5 * BIT
+
+
+def _ladder_costs():
+    """Per-rung length-symbol seed cost: LEN_SYM_COST + 16 * extra_bits."""
+    f = np.asarray(LEN_LADDER)
+    l1 = f - 3
+    k = np.maximum(np.int64(np.floor(np.log2(np.maximum(l1, 1)))), 0)
+    band_slot = 4 * k - 4 + ((l1 >> np.maximum(k - 2, 0)) & 3)
+    slot = np.where(f <= 10, l1, np.where(f >= 258, 28, band_slot))
+    extra = np.where(slot < 8, 0, np.where(slot >= 28, 0, (slot >> 2) - 1))
+    return (LEN_SYM_COST + BIT * extra).astype(np.int32)
+
+
+_LADDER_COSTS = _ladder_costs()
+
+
+def _literal_costs(bp: jax.Array, length: jax.Array, n_pad: int):
+    """Per-position literal cost (1/16-bit units) from the chunk's byte
+    histogram, via one byte-alphabet segment sort: the sort yields the
+    histogram (searchsorted boundaries) AND the per-position cost
+    translation (boundary-delta + prefix sum) — zero gathers."""
+    seg = _sym_seg(n_pad)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0]
+    sym = jnp.where(pos < length, bp.astype(jnp.int32), 256)
+    sk, starts, hist = _sort_syms(sym, seg, nsym=257)
+    h = hist[:256]
+    total = jnp.maximum(jnp.sum(h), 1).astype(jnp.float32)
+    # cost = -16*log2(p), clamped to [1, 11] bits (the dynamic-code cap)
+    bits = jnp.log2(total) - jnp.log2(jnp.maximum(h, 1).astype(jnp.float32))
+    cost = jnp.clip(jnp.round(BIT * bits).astype(jnp.int32), BIT, 11 * BIT)
+    cost = jnp.where(h > 0, cost, 11 * BIT)
+    table = jnp.concatenate([cost, jnp.zeros(1, jnp.int32)])
+    return _translate(sk, starts, table, seg, nsym=257)
+
+
+def _dist_cost(dist: jax.Array) -> jax.Array:
+    """Seeded offset cost: DIST_SYM_COST + 16 * extra_bits(slot)."""
+    _, _, oextra = _offset_slot(jnp.maximum(dist, 1))
+    return DIST_SYM_COST + BIT * oextra
+
+
+def _dp_parse(cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3, S: int):
+    """Backwards min-cost DP over independent S-position segments.
+
+    All inputs are [n_pad] arrays; returns (span, dist) per position —
+    span == 1 for a literal, span >= 3 with dist > 0 for a match edge.
+    """
+    n_pad = cost_lit.shape[0]
+    m = n_pad // S
+
+    def rows(x):                       # [n_pad] -> [S, m] (step-major)
+        return x.reshape(m, S).T
+
+    packA = (lenA.astype(jnp.uint32) << jnp.uint32(18)) | dA.astype(jnp.uint32)
+    packB = (lenB.astype(jnp.uint32) << jnp.uint32(18)) | dB.astype(jnp.uint32)
+    xs = (
+        jnp.arange(S, dtype=jnp.int32),           # t
+        rows(cost_lit),
+        rows(packA), rows(cdA),
+        rows(packB), rows(cdB),
+        rows(d3), rows(cd3),
+    )
+
+    ladder = np.asarray(LEN_LADDER, np.int32)
+    lcosts = _LADDER_COSTS
+
+    def step(W, x):
+        t, clit, pA, cA, pB, cB, dd3, c3 = x
+        lA = (pA >> jnp.uint32(18)).astype(jnp.int32)
+        dAr = (pA & jnp.uint32(0x3FFFF)).astype(jnp.int32)
+        lB = (pB >> jnp.uint32(18)).astype(jnp.int32)
+        dBr = (pB & jnp.uint32(0x3FFFF)).astype(jnp.int32)
+
+        best = clit + jax.lax.dynamic_slice_in_dim(W, (t + 1) & (_WIN - 1), 1, 0)[0]
+        bspan = jnp.ones_like(best)
+        bdist = jnp.zeros_like(best)
+
+        for fi, f in enumerate(ladder):
+            f = int(f)
+            Df = jax.lax.dynamic_slice_in_dim(W, (t + f) & (_WIN - 1), 1, 0)[0]
+            okA = lA >= f
+            okB = lB >= f
+            # select min-cost feasible distance among A/B (and d3 at f==3)
+            cd = jnp.where(okA, cA, jnp.int32(1 << 28))
+            dsel = dAr
+            useB = okB & (cB < cd)
+            cd = jnp.where(useB, cB, cd)
+            dsel = jnp.where(useB, dBr, dsel)
+            if f == 3:
+                ok3 = dd3 > 0
+                use3 = ok3 & (c3 < cd)
+                cd = jnp.where(use3, c3, cd)
+                dsel = jnp.where(use3, dd3, dsel)
+            feas_t = t + f <= S           # scalar (segment-end truncation)
+            cand = jnp.where(feas_t, cd + int(lcosts[fi]) + Df, jnp.int32(1 << 29))
+            better = cand < best
+            best = jnp.where(better, cand, best)
+            bspan = jnp.where(better, f, bspan)
+            bdist = jnp.where(better, dsel, bdist)
+
+        # boundary candidate: length exactly S - t (a scalar, uniform across
+        # lanes) reaches the segment end in one match where the ladder would
+        # decompose the tail into several rungs; D[S] == 0 by construction
+        f_tail = S - t
+        tail_sane = (f_tail >= 3) & (f_tail <= MAX_LEN)
+        okA_t = lA >= f_tail
+        okB_t = lB >= f_tail
+        cd_t = jnp.where(okA_t, cA, jnp.int32(1 << 28))
+        dsel_t = dAr
+        useB_t = okB_t & (cB < cd_t)
+        cd_t = jnp.where(useB_t, cB, cd_t)
+        dsel_t = jnp.where(useB_t, dBr, dsel_t)
+        lslot_t, _, lextra_t = _length_slot(jnp.maximum(f_tail, 3))
+        c_tail = jnp.where(
+            tail_sane, cd_t + LEN_SYM_COST + BIT * lextra_t, jnp.int32(1 << 29)
+        )
+        better_t = c_tail < best
+        best = jnp.where(better_t, c_tail, best)
+        bspan = jnp.where(better_t, f_tail, bspan)
+        bdist = jnp.where(better_t, dsel_t, bdist)
+
+        W = jax.lax.dynamic_update_slice_in_dim(
+            W, best[None, :], t & (_WIN - 1), 0
+        )
+        choice = (bspan.astype(jnp.uint32) << jnp.uint32(16)) | bdist.astype(jnp.uint32)
+        return W, choice
+
+    W0 = jnp.zeros((_WIN, m), jnp.int32)
+    _, choices = jax.lax.scan(step, W0, xs, reverse=True)
+    span = (choices >> jnp.uint32(16)).astype(jnp.int32).T.reshape(n_pad)
+    dist = (choices & jnp.uint32(0xFFFF)).astype(jnp.int32).T.reshape(n_pad)
+    return span, dist
+
+
+def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
+                        two_pass: bool = False, hash3: bool = False,
+                        wide_window: bool = True, S: int = DP_SEG):
+    """Candidate generation + cost seeding + DP + commit.  Returns the
+    same tuple contract as tpu_pipeline._parse_chunk."""
+    bp, pos, lenA, dA, lenB, dB, d3 = _parse_candidates(
+        b, length, depth=depth, two_pass=two_pass, hash3=hash3,
+        wide_window=wide_window,
+    )
+    n_pad = bp.shape[0]
+    S_eff = S if (n_pad % S == 0 and n_pad >= S) else n_pad
+
+    cost_lit = _literal_costs(bp, length, n_pad)
+    cdA = _dist_cost(dA)
+    cdB = _dist_cost(dB)
+    cd3 = _dist_cost(d3)
+
+    span, dist = _dp_parse(
+        cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3, S_eff
+    )
+    is_match = (span >= 3) & (dist > 0)
+    committed, eff = _greedy_commit(span, is_match, S_eff)
+    live = pos < length
+    commit_match = committed & (eff >= 3) & live
+    commit_lit = committed & (eff < 3) & live
+    return bp, pos, commit_match, commit_lit, eff, dist
+
+
+def compress_chunk_optimal(b: jax.Array, length: jax.Array, bfinal: jax.Array,
+                           depth: int = 6, two_pass: bool = False,
+                           hash3: bool = False):
+    """Min-cost-DP dynamic-block chunk compressor; same output contract as
+    compress_chunk_dynamic (byte-aligned fragment, sync flush)."""
+    n = b.shape[0]
+    bp, pos, commit_match, commit_lit, eff, dist = parse_chunk_optimal(
+        b, length, depth=depth, two_pass=two_pass, hash3=hash3,
+        wide_window=not (two_pass or hash3),
+    )
+    return emit_dynamic_block(
+        bp, bfinal, commit_match, commit_lit, eff, dist, n, bp.shape[0],
+        refine_passes=16,
+    )
+
+
+@jax.jit
+def compress_chunks_optimal(bufs: jax.Array, lengths: jax.Array, bfinal: jax.Array):
+    """vmapped DP-parse chunk compressor: uint8[B, N], int32[B], bool[B]
+    -> (uint32[B, W], int32[B])."""
+    return jax.vmap(compress_chunk_optimal)(bufs, lengths, bfinal)
+
+
+@jax.jit
+def compress_chunks_optimal_deep(bufs: jax.Array, lengths: jax.Array,
+                                 bfinal: jax.Array):
+    """DP parse over rescue-pass + hash3 + 12-deep candidates (the device
+    top-quality tier)."""
+    return jax.vmap(
+        lambda b, l, f: compress_chunk_optimal(
+            b, l, f, depth=12, two_pass=True, hash3=True
+        )
+    )(bufs, lengths, bfinal)

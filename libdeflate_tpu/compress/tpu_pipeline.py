@@ -191,7 +191,8 @@ def _segment_sizes(n: int, wide: bool = False) -> tuple[int, int, int]:
 
 def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
                       w8: jax.Array | None, w12: jax.Array | None, seg: int,
-                      depth: int = 2, wide_ext: bool = False):
+                      depth: int = 2, wide_ext: bool = False,
+                      return_pair: bool = False):
     """Nearest (and second-nearest) previous same-hash candidates per
     position via ONE batched segment sort carrying the position's own 16
     bytes as payloads; the LCP is byte-exact up to 19: word-granular
@@ -256,7 +257,7 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
         return mlen, dist, fine
 
     mlen, dist, fine = probe(1)
-    if not (deep and wide_ext):
+    if not (deep and (wide_ext or return_pair)):
         for d in range(2, depth + 1):
             m2, d2, f2 = probe(d)
             better = (m2 > mlen) | ((m2 == mlen) & (f2 > fine))
@@ -310,6 +311,7 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
         (pb >> jnp.uint32(18)).astype(jnp.int32),
         (pb & jnp.uint32(0xFFFF)).astype(jnp.int32),
         ((pb >> jnp.uint32(16)) & jnp.uint32(3)).astype(jnp.int32),
+        return_pair=return_pair,
     )
 
 
@@ -336,12 +338,16 @@ def _chain_extend(mlen: jax.Array, dist: jax.Array, fine: jax.Array):
     return jnp.minimum(r + jnp.where(r >= 4, f, 0), MAX_LEN), dist
 
 
-def _chain_extend2(mA, dA, fA, mB, dB, fB):
+def _chain_extend2(mA, dA, fA, mB, dB, fB, return_pair: bool = False):
     """Two-candidate stride-8 chain extension: each candidate's chain may
     splice with EITHER downstream candidate that continues at the same
     distance; the longer extended match wins (ties prefer A, the nearer
     candidate).  Same exactness argument as _chain_extend — a splice fires
-    only on exact distance equality, so lengths stay byte-true."""
+    only on exact distance equality, so lengths stay byte-true.
+
+    With ``return_pair`` both extended candidates are returned as
+    (lenA, distA, lenB, distB) — the min-cost DP parser wants both (their
+    offset costs differ even when the capped lengths tie)."""
     rA, fa = mA, fA
     rB, fb = mB, fB
     s = 8
@@ -362,6 +368,8 @@ def _chain_extend2(mA, dA, fA, mB, dB, fB):
         s *= 2
     lenA = jnp.minimum(rA + jnp.where(rA >= 4, fa, 0), MAX_LEN)
     lenB = jnp.minimum(rB + jnp.where(rB >= 4, fb, 0), MAX_LEN)
+    if return_pair:
+        return lenA, dA, lenB, dB
     useB = lenB > lenA
     return jnp.where(useB, lenB, lenA), jnp.where(useB, dB, dA)
 
@@ -626,6 +634,80 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
     commit_match = committed & (eff >= 3) & live
     commit_lit = committed & (eff < 3) & live
     return bp, pos, commit_match, commit_lit, eff, dist
+
+
+def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
+                      two_pass: bool = False, hash3: bool = False,
+                      wide_window: bool = True):
+    """Candidate generation for the min-cost DP parser: per-position best
+    and runner-up (distinct-distance) match candidates, plus an optional
+    len-3 short-offset candidate.  Same matchfind machinery as
+    _parse_chunk but WITHOUT committing — the DP chooses.  Plays the role
+    of bt_matchfinder_get_matches feeding the reference's near-optimal
+    parse (lib/deflate_compress.c:3592-3849), with the candidate list
+    truncated to 2 (+1 len-3) per position.
+
+    Returns (bp, pos, lenA, distA, lenB, distB, dist3) over the padded
+    array; lengths are clipped to the chunk tail, dist3 == 0 means no
+    len-3 candidate."""
+    n = b.shape[0]
+    n_pad, sort_seg, _ = _segment_sizes(n, wide=wide_window)
+    junk_val = _seg_key_params(sort_seg)[1]
+    bp = jnp.pad(b, (0, n_pad - n))
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0]
+
+    words_u32 = _le32_words(bp, extra_pad=16)
+    w4 = jnp.concatenate([words_u32[4:], jnp.zeros(4, jnp.uint32)])
+    w8 = jnp.concatenate([words_u32[8:], jnp.zeros(8, jnp.uint32)])
+    w12 = jnp.concatenate([words_u32[12:], jnp.zeros(12, jnp.uint32)])
+
+    h = ((words_u32 * jnp.uint32(MULT)) >> jnp.uint32(32 - HASH_ORDER)).astype(
+        jnp.uint32
+    )
+    h = jnp.where(pos + MIN_MATCH <= length, h, jnp.uint32(junk_val))
+
+    lenA, dA, lenB, dB = _sorted_matchfind(
+        h, words_u32, w4, w8, w12, sort_seg, depth=depth, return_pair=True
+    )
+    if two_pass and sort_seg >= 2 * FSM_SEG:
+        # half-segment-shifted rescue pass (full-window history coverage);
+        # merge its candidate into the pair, keeping distinct distances
+        half = sort_seg // 2
+        junk = jnp.full(half, junk_val, jnp.uint32)
+        zpad = jnp.zeros(half, jnp.uint32)
+        mlen_c, dist_c = _sorted_matchfind(
+            jnp.concatenate([h[half:], junk]),
+            jnp.concatenate([words_u32[half:], zpad]),
+            jnp.concatenate([w4[half:], zpad]),
+            None, None, sort_seg,
+        )
+        mlen_c = jnp.concatenate([jnp.zeros(half, jnp.int32), mlen_c[:-half]])
+        dist_c = jnp.concatenate([jnp.zeros(half, jnp.int32), dist_c[:-half]])
+        beats_a = mlen_c > lenA
+        # displaced A becomes the runner-up unless C merely duplicates A
+        newB_l = jnp.where(beats_a & (dist_c != dA), lenA, lenB)
+        newB_d = jnp.where(beats_a & (dist_c != dA), dA, dB)
+        beats_b = ~beats_a & (mlen_c > lenB) & (dist_c != dA)
+        lenB = jnp.where(beats_b, mlen_c, newB_l)
+        dB = jnp.where(beats_b, dist_c, newB_d)
+        lenA = jnp.where(beats_a, mlen_c, lenA)
+        dA = jnp.where(beats_a, dist_c, dA)
+
+    cap = jnp.clip(length - pos, 0, MAX_LEN)
+    lenA = jnp.minimum(lenA, cap)
+    lenB = jnp.minimum(lenB, cap)
+
+    if hash3:
+        h3 = (
+            ((words_u32 & jnp.uint32(0xFFFFFF)) * jnp.uint32(MULT))
+            >> jnp.uint32(32 - HASH_ORDER)
+        ).astype(jnp.uint32)
+        h3 = jnp.where(pos + 3 <= length, h3, jnp.uint32(junk_val))
+        d3 = _hash3_matchfind(h3, words_u32, sort_seg)
+        d3 = jnp.where(cap >= 3, d3, 0)
+    else:
+        d3 = jnp.zeros_like(lenA)
+    return bp, pos, lenA, dA, lenB, dB, d3
 
 
 def compress_chunk_static(b: jax.Array, length: jax.Array, bfinal: jax.Array):

@@ -76,12 +76,39 @@ def process_file(path: str, opts) -> int:
     quiet = opts["q"]
 
     if path == "-":
+        # compressed output to a terminal is almost always a mistake
+        # (programs/gzip.c:430-447): refuse unless forced
+        if not decompress and not opts["t"] and not opts["f"] \
+                and sys.stdout.isatty():
+            msg(quiet, "compressed data not written to a terminal; use -f "
+                       "to force, or redirect the output")
+            return 1
         data = sys.stdin.buffer.read()
         in_path = None
     else:
         if decompress and not path.endswith(suffix) and not opts["t"]:
             msg(quiet, f"{path}: does not end with {suffix} suffix -- skipping")
             return 1 if not opts["f"] else 0
+        if decompress and not opts["t"] and not to_stdout \
+                and len(path) == len(suffix):
+            msg(quiet, f"{path}: stripping the {suffix} suffix leaves an "
+                       "empty name -- skipping")
+            return 1
+        st = os.lstat(path)
+        import stat as _stat
+        if not _stat.S_ISREG(st.st_mode):
+            # directories, symlinks, devices: skip (programs/gzip.c:305-330)
+            kind = "symbolic link" if _stat.S_ISLNK(st.st_mode) else \
+                   "directory" if _stat.S_ISDIR(st.st_mode) else "special file"
+            msg(quiet, f"{path} is a {kind} -- skipping")
+            return 1 if not opts["f"] else 0
+        if st.st_nlink > 1 and not opts["k"] and not to_stdout \
+                and not opts["t"] and not opts["f"]:
+            # the input would be unlinked but other hard links remain
+            # (programs/gzip.c:340-355): refuse unless -f or -k
+            msg(quiet, f"{path} has {st.st_nlink - 1} other hard link(s) "
+                       "-- unchanged (use -f or -k)")
+            return 1
         with open(path, "rb") as f:
             data = f.read()
         in_path = path

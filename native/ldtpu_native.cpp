@@ -1438,12 +1438,23 @@ struct BitReader {
     size_t consumed_bytes() const { return pos - ((cnt >> 3) - overread); }
 };
 
+__attribute__((noinline)) static DecTables* dec_tables() {
+    static thread_local DecTables T;
+    return &T;
+}
+
 extern "C" int ld_deflate_decompress(const u8* in, size_t n, u8* out,
                                      size_t out_avail, int known_size,
                                      size_t* actual_in, size_t* actual_out) {
     // returns 0 SUCCESS, 1 BAD_DATA, 2 SHORT_OUTPUT, 3 INSUFFICIENT_SPACE
     slot_init();
-    static thread_local DecTables T;
+    // The scratch tables are thread_local, but naming a TLS variable in a
+    // dlopen'd .so compiles to a __tls_get_addr PLT CALL at every access
+    // under the global-dynamic model -- one function call per decoded
+    // symbol in the hot loop (measured: the dominant decode cost).  Fetch
+    // the address exactly once through a noinline getter and use plain
+    // pointer loads from there on.
+    DecTables* const tp = dec_tables();
     static thread_local u8 s_ll[288], s_of[32];
     BitReader br(in, n);
     size_t op = 0;
@@ -1476,8 +1487,8 @@ extern "C" int ld_deflate_decompress(const u8* in, size_t n, u8* out,
                 if (!build_table(s_of, 32, 8, S.off, 402, 2)) return 1;
                 s_loaded = true;
             }
-            memcpy(T.litlen, S.litlen, sizeof(S.litlen));
-            memcpy(T.off, S.off, sizeof(S.off));
+            memcpy(tp->litlen, S.litlen, sizeof(S.litlen));
+            memcpy(tp->off, S.off, sizeof(S.off));
         } else if (btype == 2) {
             if (!br.refill()) return 1;
             u32 num_ll = 257 + br.pop(5);
@@ -1488,12 +1499,12 @@ extern "C" int ld_deflate_decompress(const u8* in, size_t n, u8* out,
                 if (!br.refill()) return 1;
                 pre_lens[PRECODE_PERM[i]] = (u8)br.pop(3);
             }
-            if (!build_table(pre_lens, 19, 7, T.pre, 128, 0)) return 1;
+            if (!build_table(pre_lens, 19, 7, tp->pre, 128, 0)) return 1;
             u8 lens[288 + 32 + 138] = {0};
             u32 i = 0, total = num_ll + num_of;
             while (i < total) {
                 if (!br.refill()) return 1;
-                u32 e = T.pre[br.peek(7)];
+                u32 e = tp->pre[br.peek(7)];
                 br.consume(e & 0xFF);
                 u32 sym = (e >> 16) & 0x7FFF;
                 if (sym < 16) { lens[i++] = (u8)sym; continue; }
@@ -1509,8 +1520,8 @@ extern "C" int ld_deflate_decompress(const u8* in, size_t n, u8* out,
                 for (u32 r = 0; r < rep; r++) lens[i + r] = val;
                 i += rep;
             }
-            if (!build_table(lens, num_ll, LTB, T.litlen, LENOUGH, 1)) return 1;
-            if (!build_table(lens + num_ll, num_of, 8, T.off, 402, 2)) return 1;
+            if (!build_table(lens, num_ll, LTB, tp->litlen, LENOUGH, 1)) return 1;
+            if (!build_table(lens + num_ll, num_of, 8, tp->off, 402, 2)) return 1;
         } else return 1;
 
         // fastloop: bounds hoisted to the loop condition.  Input slack 16
@@ -1524,7 +1535,7 @@ extern "C" int ld_deflate_decompress(const u8* in, size_t n, u8* out,
         bool eob = false;
         if (br.pos + 16 <= n && op + 272 <= out_avail) {
             br.refill_fast();
-            u32 e = dec_lookup(T.litlen, LTB, br.buf);
+            u32 e = dec_lookup(tp->litlen, LTB, br.buf);
             for (;;) {
                 if (e & E_LIT) {
                     // pair emit via predicted branch: keeps the store
@@ -1533,24 +1544,36 @@ extern "C" int ld_deflate_decompress(const u8* in, size_t n, u8* out,
                     out[op] = (u8)(e >> 8);
                     out[op + 1] = (u8)(e >> 16);
                     op += 1 + ((e >> 30) & 1);
-                    e = dec_lookup(T.litlen, LTB, br.buf);
+                    e = dec_lookup(tp->litlen, LTB, br.buf);
                     if (e & E_LIT) {
                         br.consume(e & 0xFF);
                         out[op] = (u8)(e >> 8);
                         out[op + 1] = (u8)(e >> 16);
                         op += 1 + ((e >> 30) & 1);
-                        e = dec_lookup(T.litlen, LTB, br.buf);
+                        e = dec_lookup(tp->litlen, LTB, br.buf);
                         if (e & E_LIT) {
                             // three probes consumed <= 45 bits: refill and
-                            // re-probe (bounds first: two refills/iteration)
+                            // re-probe (bounds first: two refills/iteration).
+                            // The re-probe is issued BEFORE the refill: >= 11
+                            // bits always remain (56 - 45), so the index
+                            // window is already final and the table load
+                            // retires under the refill's shift/or chain.
                             br.consume(e & 0xFF);
                             out[op] = (u8)(e >> 8);
                             out[op + 1] = (u8)(e >> 16);
                             op += 1 + ((e >> 30) & 1);
                             if (!(br.pos + 16 <= n && op + 272 <= out_avail))
                                 break;
+                            // raw main-table load only: a subtable's second
+                            // index needs bits [11, 15) which may not be
+                            // refilled yet — resolve those after the refill
+                            e = tp->litlen[(u32)br.buf & ((1u << LTB) - 1)];
                             br.refill_fast();
-                            e = dec_lookup(T.litlen, LTB, br.buf);
+                            if (__builtin_expect((e & (E_LIT | E_SUB)) == E_SUB, 0)) {
+                                u32 sb = (e >> 8) & 0xF;
+                                e = tp->litlen[((e >> 16) & 0x7FFF) +
+                                             (((u32)br.buf >> LTB) & ((1u << sb) - 1))];
+                            }
                             continue;
                         }
                     }
@@ -1567,7 +1590,7 @@ extern "C" int ld_deflate_decompress(const u8* in, size_t n, u8* out,
                 // usually enough bits remain for offset code + extra (<=28);
                 // the refill branch is rarely taken and predicts well
                 if (br.cnt < 28) br.refill_fast();
-                u32 oe = dec_lookup(T.off, 8, br.buf);
+                u32 oe = dec_lookup(tp->off, 8, br.buf);
                 if (__builtin_expect(oe & E_EXC, 0)) return 1;
                 saved = br.buf;
                 br.consume(oe & 0xFF);
@@ -1581,7 +1604,7 @@ extern "C" int ld_deflate_decompress(const u8* in, size_t n, u8* out,
                 bool more = br.pos + 16 <= n && op + 272 <= out_avail;
                 if (__builtin_expect(more, 1)) {
                     br.refill_fast();
-                    e = dec_lookup(T.litlen, LTB, br.buf);
+                    e = dec_lookup(tp->litlen, LTB, br.buf);
                 }
                 if (off >= 8) {
                     // most matches are short: 32 bytes unconditionally, then
@@ -1615,7 +1638,7 @@ extern "C" int ld_deflate_decompress(const u8* in, size_t n, u8* out,
         // offset code+extra (<=28).
         for (;;) {
             if (!br.refill()) return 1;
-            u32 e = dec_lookup(T.litlen, LTB, br.buf);
+            u32 e = dec_lookup(tp->litlen, LTB, br.buf);
             if (e & E_LIT) {
                 br.consume(e & 0xFF);
                 if (op >= out_avail) return 3;
@@ -1634,7 +1657,7 @@ extern "C" int ld_deflate_decompress(const u8* in, size_t n, u8* out,
             u64 saved = br.buf;
             br.consume(e & 0xFF);
             u32 len = dec_value(e, saved);
-            u32 oe = dec_lookup(T.off, 8, br.buf);
+            u32 oe = dec_lookup(tp->off, 8, br.buf);
             if (oe & E_EXC) return 1;
             saved = br.buf;
             br.consume(oe & 0xFF);
