@@ -471,10 +471,16 @@ struct Freqs { u32 litlen[288] = {0}; u32 off[32] = {0}; };
 
 static void flush_block(BitWriter& bw, const u8* block_data, size_t block_len,
                         const std::vector<Seq>& seqs, Freqs& f,
-                        u64 len_extra_bits, u64 off_extra_bits,
                         bool is_final) {
     slot_init();
     f.litlen[256]++;
+    // extra-bit totals fall out of the slot freqs (extras are fixed per
+    // slot) — parsers don't need to accumulate them item by item
+    u64 len_extra_bits = 0, off_extra_bits = 0;
+    for (int i = 0; i < 29; i++)
+        len_extra_bits += (u64)f.litlen[257 + i] * LEN_EXTRA[i];
+    for (int i = 0; i < 30; i++)
+        off_extra_bits += (u64)f.off[i] * OFF_EXTRA[i];
 
     u8 ll_lens[288]; u16 ll_codes[288];
     u8 of_lens[32];  u16 of_codes[32];
@@ -567,11 +573,40 @@ static void flush_block(BitWriter& bw, const u8* block_data, size_t block_len,
         use_of_lens = of_lens; use_of_codes = of_codes;
     }
 
+    // Emit with all bitstream state in locals — a struct-resident writer
+    // costs a load+store per field per item through the reference, the
+    // exact aliasing problem the reference solves the same way
+    // (lib/deflate_compress.c:1713-1727).  The litlen length cap of 14
+    // bits makes 4 literals per flush safe: 4*14 + 7 carry <= 63.
+    u64 lbuf = bw.buf; unsigned lcnt = bw.cnt;
+    u8* const outb = bw.out;
+    u8* wp = outb + bw.pos;
+    u8* const wend = outb + bw.cap;
+    bool ovf = bw.overflow;
+#define LFLUSH() do { \
+        if (wp + 8 <= wend) { \
+            memcpy(wp, &lbuf, 8); \
+            wp += lcnt >> 3; lbuf >>= (lcnt & ~7u); lcnt &= 7; \
+        } else ovf = true; \
+    } while (0)
     const u8* p = block_data;
     for (const Seq& s : seqs) {
-        if (bw.overflow) return;
-        for (u32 i = 0; i < s.litrun; i++)
-            bw.add(use_ll_codes[p[i]], use_ll_lens[p[i]]);
+        if (ovf) break;
+        const u8* q = p;
+        u32 run = s.litrun;
+        while (run >= 4 && !ovf) {
+            lbuf |= (u64)use_ll_codes[q[0]] << lcnt; lcnt += use_ll_lens[q[0]];
+            lbuf |= (u64)use_ll_codes[q[1]] << lcnt; lcnt += use_ll_lens[q[1]];
+            lbuf |= (u64)use_ll_codes[q[2]] << lcnt; lcnt += use_ll_lens[q[2]];
+            lbuf |= (u64)use_ll_codes[q[3]] << lcnt; lcnt += use_ll_lens[q[3]];
+            LFLUSH();
+            q += 4; run -= 4;
+        }
+        while (run && !ovf) {
+            lbuf |= (u64)use_ll_codes[*q] << lcnt; lcnt += use_ll_lens[*q];
+            LFLUSH();
+            q++; run--;
+        }
         p += s.litrun;
         if (!s.len) break;
         unsigned ls = len_to_slot[s.len];
@@ -582,10 +617,17 @@ static void flush_block(BitWriter& bw, const u8* block_data, size_t block_len,
         unsigned os = offset_slot(s.off);
         v |= (u64)use_of_codes[os] << nb; nb += use_of_lens[os];
         v |= (u64)(s.off - OFF_BASE[os]) << nb; nb += OFF_EXTRA[os];
-        bw.add(v, nb);
+        lbuf |= v << lcnt; lcnt += nb;            // <= 47 + 7 bits
+        LFLUSH();
         p += s.len;
     }
-    bw.add(use_ll_codes[256], use_ll_lens[256]);
+    if (!ovf) {
+        lbuf |= (u64)use_ll_codes[256] << lcnt; lcnt += use_ll_lens[256];
+        LFLUSH();
+    }
+#undef LFLUSH
+    if (ovf) { bw.overflow = true; return; }
+    bw.buf = lbuf; bw.cnt = lcnt; bw.pos = wp - outb;
 }
 
 // ---------------------------------------------------------------------------
@@ -945,7 +987,6 @@ static size_t compress_near_optimal(int level, const u8* in, size_t n,
         // --- path -> seqs, flush ---
         seqs.clear();
         Freqs fq;
-        u64 lxb = 0, oxb = 0;
         u32 lrun = 0;
         for (size_t pos = 0; pos < blen; ) {
             if (choice_off[pos] == 0 || choice_len[pos] <= 1) {
@@ -957,7 +998,6 @@ static size_t compress_near_optimal(int level, const u8* in, size_t n,
                 unsigned ls = len_to_slot[L];
                 unsigned os = offset_slot(choice_off[pos]);
                 fq.litlen[257 + ls]++; fq.off[os]++;
-                lxb += LEN_EXTRA[ls]; oxb += OFF_EXTRA[os];
                 seqs.push_back({lrun, L, 0, choice_off[pos]});
                 lrun = 0;
                 pos += L;
@@ -966,8 +1006,7 @@ static size_t compress_near_optimal(int level, const u8* in, size_t n,
         seqs.push_back({lrun, 0, 0, 0});
         if (getenv("LDTPU_DEBUG_BLOCKS"))
             fprintf(stderr, "block %zu..%zu (%zu)\n", block_start, block_end, blen);
-        flush_block(bw, in + block_start, blen, seqs, fq, lxb, oxb,
-                    block_end == n);
+        flush_block(bw, in + block_start, blen, seqs, fq, block_end == n);
         if (bw.overflow) return 0;
         block_start = block_end;
     }
@@ -999,7 +1038,6 @@ static size_t compress_fastest(const u8* in, size_t n, u8* out,
     seqs.reserve(SEQ_SOFT + 16);
     size_t in_next = 0;
     Freqs f;
-    u64 lx_bits = 0, ox_bits = 0;
     u32 litrun = 0;
 
     auto load32 = [&](size_t i) { u32 v; memcpy(&v, in + i, 4); return v; };
@@ -1011,6 +1049,8 @@ static size_t compress_fastest(const u8* in, size_t n, u8* out,
         size_t block_begin = in_next;
         size_t block_end = std::min(n, in_next + SOFT);
         seqs.clear();
+        u32 next_hash = in_next < end_matchable
+            ? (load32(in_next) * HASH_MULT) >> (32 - ORDER) : 0;
         while (in_next < block_end && seqs.size() < SEQ_SOFT) {
             if (in_next >= end_matchable) {
                 f.litlen[in[in_next]]++;
@@ -1021,37 +1061,65 @@ static size_t compress_fastest(const u8* in, size_t n, u8* out,
             if (in_next - mf_base >= 32768) slide();
             s32 rel = (s32)(in_next - mf_base);
             u32 w = load32(in_next);
-            u32 h = (w * HASH_MULT) >> (32 - ORDER);
+            // hash pipelining: position i+1's hash is computed (and its
+            // bucket prefetched) before probing position i's bucket, hiding
+            // the table-load latency (the reference's next_hash scheme,
+            // lib/ht_matchfinder.h:114-119)
+            u32 h = next_hash;
+            next_hash = (load32(in_next + 1) * HASH_MULT) >> (32 - ORDER);
+            __builtin_prefetch(&tab[2 * next_hash], 1);
             s32 c1 = tab[2 * h], c2 = tab[2 * h + 1];
             tab[2 * h + 1] = (s16)c1;
             tab[2 * h] = (s16)rel;
             u32 best = 0, boff = 0;
             u32 limit = (u32)std::min<size_t>(258, n - in_next);
-            for (s32 c : {c1, c2}) {
-                if (c <= rel - 32768) continue;
-                size_t j = (size_t)((std::ptrdiff_t)mf_base + c);
-                u32 wj;
-                memcpy(&wj, in + j, 4);
-                if (wj != w) continue;
-                u32 l = extend(in_next, j, limit);
-                if (l > best) { best = l; boff = (u32)(in_next - j); }
-                if (best >= NICE) break;
+            s32 cut = rel - 32768;
+            // hand-unrolled 2-entry probe (control flow mirrors
+            // lib/ht_matchfinder.h:135-170): most positions exit on the
+            // first cutoff or first-word mismatch
+            if (c1 > cut) {
+                size_t j1 = (size_t)((std::ptrdiff_t)mf_base + c1);
+                u32 w1; memcpy(&w1, in + j1, 4);
+                if (w1 == w) {
+                    best = extend(in_next, j1, limit);
+                    boff = (u32)(in_next - j1);
+                    if (best < NICE && c2 > cut) {
+                        size_t j2 = (size_t)((std::ptrdiff_t)mf_base + c2);
+                        u32 qa, qb;
+                        memcpy(&qa, in + j2 + best - 3, 4);
+                        memcpy(&qb, in + in_next + best - 3, 4);
+                        u32 w2; memcpy(&w2, in + j2, 4);
+                        if (qa == qb && w2 == w) {
+                            u32 l = extend(in_next, j2, limit);
+                            if (l > best) { best = l; boff = (u32)(in_next - j2); }
+                        }
+                    }
+                } else if (c2 > cut) {
+                    size_t j2 = (size_t)((std::ptrdiff_t)mf_base + c2);
+                    u32 w2; memcpy(&w2, in + j2, 4);
+                    if (w2 == w) {
+                        best = extend(in_next, j2, limit);
+                        boff = (u32)(in_next - j2);
+                    }
+                }
             }
             if (best >= 4) {
                 unsigned ls = len_to_slot[best];
                 unsigned os = offset_slot(boff);
                 f.litlen[257 + ls]++; f.off[os]++;
-                lx_bits += LEN_EXTRA[ls]; ox_bits += OFF_EXTRA[os];
                 seqs.push_back({litrun, (u16)best, 0, boff});
                 litrun = 0;
                 size_t stop = std::min(in_next + best, end_matchable);
                 for (size_t p = in_next + 1; p < stop; p++) {
                     if (p - mf_base >= 32768) slide();
-                    u32 hp = (load32(p) * HASH_MULT) >> (32 - ORDER);
+                    u32 hp = next_hash;
+                    next_hash = (load32(p + 1) * HASH_MULT) >> (32 - ORDER);
                     tab[2 * hp + 1] = tab[2 * hp];
                     tab[2 * hp] = (s16)(p - mf_base);
                 }
                 in_next += best;
+                if (stop < in_next && in_next < end_matchable)
+                    next_hash = (load32(in_next) * HASH_MULT) >> (32 - ORDER);
             } else {
                 f.litlen[in[in_next]]++;
                 litrun++;
@@ -1061,9 +1129,8 @@ static size_t compress_fastest(const u8* in, size_t n, u8* out,
         seqs.push_back({litrun, 0, 0, 0});
         litrun = 0;
         flush_block(bw, in + block_begin, in_next - block_begin, seqs, f,
-                    lx_bits, ox_bits, in_next == n);
+                    in_next == n);
         f = Freqs();
-        lx_bits = ox_bits = 0;
     }
     return bw.finish();
 }
@@ -1101,7 +1168,6 @@ extern "C" size_t ld_deflate_compress(int level, const u8* in, size_t n,
     size_t in_next = 0;
     BlockStats stats;
     Freqs f;
-    u64 lx_bits = 0, ox_bits = 0;
     u32 litrun = 0;
 
     auto insert_span = [&](size_t from, size_t to) {
@@ -1131,7 +1197,6 @@ extern "C" size_t ld_deflate_compress(int level, const u8* in, size_t n,
             unsigned ls = len_to_slot[len];
             unsigned os = offset_slot(off);
             f.litlen[257 + ls]++; f.off[os]++;
-            lx_bits += LEN_EXTRA[ls]; ox_bits += OFF_EXTRA[os];
             seqs.push_back({litrun, (u16)len, 0, off});
             litrun = 0;
             stats.match(len);
@@ -1219,9 +1284,8 @@ extern "C" size_t ld_deflate_compress(int level, const u8* in, size_t n,
         seqs.push_back({litrun, 0, 0, 0});
         litrun = 0;
         flush_block(bw, in + block_begin, in_next - block_begin, seqs, f,
-                    lx_bits, ox_bits, in_next == n);
+                    in_next == n);
         f = Freqs();
-        lx_bits = ox_bits = 0;
     }
     return bw.finish();
 }
