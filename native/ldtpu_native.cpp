@@ -282,7 +282,7 @@ struct BitWriter {
 // ---------------------------------------------------------------------------
 // Compressor
 // ---------------------------------------------------------------------------
-static const int HASH4_ORDER = 15, HASH3_ORDER = 14;
+static const int HASH4_ORDER = 16, HASH3_ORDER = 15;
 static const u32 HASH_MULT = 0x1E35A7BDu;
 
 // A sequence item: `litrun` literals (read from the block data at emission
@@ -310,45 +310,62 @@ struct Parser {
     inline u32 extend(size_t i, size_t j, u32 limit) const {
         return lz_extend(in, i, j, limit);
     }
-    // best match at i; returns length (0 if < min useful) and offset
-    inline u32 longest(size_t i, u32 best_in, int depth, u32 nice, u32* off_out) const {
+    // best match at i, inserting i into both tables as it goes (one hash
+    // computation and one head load serve both roles — the reference's
+    // hc_matchfinder_longest_match does the same, lib/hc_matchfinder.h:
+    // 182-227).  Callers must NOT also call insert(i).
+    inline u32 longest(size_t i, u32 best_in, int depth, u32 nice, u32* off_out) {
         u32 limit = (u32)std::min<size_t>(258, n - i);
-        if (limit < 3) return 0;
+        if (limit < 3) { if (n - i >= 4) insert(i); return 0; }
         u32 best = best_in, boff = 0;
         u32 nice_c = std::min(nice, limit);
         // hash3 singleton: a length-3 candidate only, via one 3-byte
         // compare — no extension (the reference's hc_matchfinder does the
         // same, lib/hc_matchfinder.h:213-248; longer matches always have a
         // hash4 chain entry of their own)
-        s32 j = head3[h3(i)];
+        u32 hh3 = h3(i);
+        s32 j = head3[hh3];
+        head3[hh3] = (s32)i;
         if (best < 3 && j >= 0 && i - (size_t)j <= 32768) {
             if ((load32((size_t)j) & 0xFFFFFF) == (load32(i) & 0xFFFFFF)) {
                 best = 3;
                 boff = (u32)(i - j);
             }
         }
-        j = head4[h4(i)];
+        u32 hh4 = h4(i);
+        j = head4[hh4];
+        prev4[i & 32767] = j;
+        head4[hh4] = (s32)i;
         u32 first4 = load32(i);
+        // Both chain phases hoist the next-node load and prefetch its
+        // match bytes before touching the current node's, so the serially
+        // dependent prev4 walk overlaps the data compares (the hardware
+        // analogue of the reference's chain layout that keeps node+data
+        // adjacent, lib/hc_matchfinder.h:182-338).
         // phase 1 (only while nothing >= 4 found): bare first-word compares
         // -- the reference's first-match loop (lib/hc_matchfinder.h:228-249)
         while (best < 4 && j >= 0 && i - (size_t)j <= 32768 && depth > 0) {
             depth--;
+            s32 jn = prev4[(size_t)j & 32767];
+            if (jn >= 0) __builtin_prefetch(in + (size_t)jn);
             if (load32((size_t)j) == first4) {
                 u32 l = extend(i, j, limit);
                 if (l >= 4) {
                     best = l;
                     boff = (u32)(i - j);
-                    j = prev4[(size_t)j & 32767];
+                    j = jn;
                     break;
                 }
             }
-            j = prev4[(size_t)j & 32767];
+            j = jn;
         }
         // phase 2: improve; reject most losers with one 4-byte compare
         // spanning the current best length (the reference's
         // last+first-4-bytes quick check, lib/hc_matchfinder.h:251-263)
         while (j >= 0 && i - (size_t)j <= 32768 && depth > 0 && best < nice_c &&
                best < limit) {
+            s32 jn = prev4[(size_t)j & 32767];
+            if (jn >= 0) __builtin_prefetch(in + (size_t)jn + best - 3);
             u32 ta, tb;
             memcpy(&ta, in + (size_t)j + best - 3, 4);
             memcpy(&tb, in + i + best - 3, 4);
@@ -356,7 +373,7 @@ struct Parser {
                 u32 l = extend(i, j, limit);
                 if (l > best) { best = l; boff = (u32)(i - j); }
             }
-            j = prev4[(size_t)j & 32767];
+            j = jn;
             depth--;
         }
         if (!boff || best < 3) return 0;
@@ -661,7 +678,7 @@ static OptCfg opt_cfg(int level) {
 // an out-of-window node prunes its whole subtree.
 // ---------------------------------------------------------------------------
 struct BTMF {
-    static const int HB = HASH4_ORDER + 1;  // order-16 hash4, like the reference
+    static const int HB = 16;  // order-16 hash4, like the reference
     const u8* in; size_t n;
     size_t base = 0;  // window base; all table entries are relative to it
     // 16-bit window-relative positions with saturating rebase: the whole
@@ -1214,7 +1231,6 @@ extern "C" size_t ld_deflate_compress(int level, const u8* in, size_t n,
             }
             u32 cur_off = 0;
             u32 cur_len = P.longest(in_next, min_len - 1, cfg.depth, cfg.nice, &cur_off);
-            P.insert(in_next);
             if (cur_len < min_len || (cur_len == 3 && cur_off > 8192)) {
                 choose_literal(in[in_next]);
                 in_next++;
@@ -1240,7 +1256,6 @@ extern "C" size_t ld_deflate_compress(int level, const u8* in, size_t n,
                 u32 next_off = 0;
                 u32 next_len = P.longest(in_next, cur_len - 1, cfg.depth >> 1,
                                          cfg.nice, &next_off);
-                P.insert(in_next);
                 in_next++;
                 if (next_len >= cur_len &&
                     4 * (int)(next_len - cur_len) +
@@ -1254,7 +1269,6 @@ extern "C" size_t ld_deflate_compress(int level, const u8* in, size_t n,
                     // lazy2: look one more position ahead at quarter depth
                     next_len = P.longest(in_next, cur_len - 1, cfg.depth >> 2,
                                          cfg.nice, &next_off);
-                    P.insert(in_next);
                     in_next++;
                     if (next_len >= cur_len &&
                         4 * (int)(next_len - cur_len) +
