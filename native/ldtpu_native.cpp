@@ -1050,7 +1050,10 @@ static size_t compress_fastest(const u8* in, size_t n, u8* out,
         mf_base += 32768;
     };
     const size_t SOFT = 65535, SEQ_SOFT = 8192;
-    size_t end_matchable = n >= 4 ? n - 3 : 0;
+    // 5-byte tail margin, not 4: the pipelined next-position hash loads 4
+    // bytes at in_next+1 (same contract as the reference's
+    // HT_MATCHFINDER_REQUIRED_NBYTES=5, lib/ht_matchfinder.h:23-29)
+    size_t end_matchable = n >= 5 ? n - 4 : 0;
     std::vector<Seq> seqs;
     seqs.reserve(SEQ_SOFT + 16);
     size_t in_next = 0;
@@ -1100,7 +1103,9 @@ static size_t compress_fastest(const u8* in, size_t n, u8* out,
                 if (w1 == w) {
                     best = extend(in_next, j1, limit);
                     boff = (u32)(in_next - j1);
-                    if (best < NICE && c2 > cut) {
+                    // best < limit also bounds the 4-byte quick-check load
+                    // at in_next + best - 3 within the input buffer
+                    if (best < NICE && best < limit && c2 > cut) {
                         size_t j2 = (size_t)((std::ptrdiff_t)mf_base + c2);
                         u32 qa, qb;
                         memcpy(&qa, in + j2 + best - 3, 4);
