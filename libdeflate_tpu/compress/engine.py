@@ -55,6 +55,61 @@ def _split_items_by_input_len(kinds, vals, soft_max: int):
         start = cut
 
 
+# Block-split heuristic constants (lib/deflate_compress.c:2141-2197):
+# 10 observation classes, a check every 512 observations, split when the
+# probability-delta sum crosses 200/512 with short-block penalties.
+_OBS_CHECK = 512
+_MIN_BLOCK = 5000
+
+
+def _split_items_by_stats(kinds, vals, soft_max: int):
+    """Yield item-range blocks chosen by the reference's online
+    distribution-shift heuristic (should_end_block,
+    lib/deflate_compress.c:2141-2218): every item is one observation (8
+    literal classes by bits 7-6 and 0, 2 match classes by len >= 9); every
+    512 observations the new distribution is compared against the block's
+    accumulated one and the block ends when the delta crosses the cutoff.
+    Matches the native codec's BlockStats (native/ldtpu_native.cpp) so
+    forced-dispatch output tracks the native streams."""
+    n_items = len(kinds)
+    spans = np.where(kinds == 1, vals, 1).astype(np.int64)
+    csum = np.cumsum(spans)
+    total_in = int(csum[-1]) if n_items else 0
+    cls = np.where(
+        kinds == 1, 8 + (vals >= 9).astype(np.int64),
+        ((vals.astype(np.int64) >> 5) & 6) | (vals.astype(np.int64) & 1),
+    )
+    start = 0
+    base = 0
+    while start < n_items:
+        obs = np.zeros(10, dtype=np.int64)
+        num = 0
+        cut = start
+        while True:
+            nxt = min(cut + _OBS_CHECK, n_items)
+            newo = np.bincount(cls[cut:nxt], minlength=10)
+            num_new = nxt - cut
+            cut = nxt
+            in_here = int(csum[cut - 1]) - base
+            if cut >= n_items or in_here >= soft_max:
+                break
+            remaining = total_in - base - in_here
+            if num_new >= _OBS_CHECK and in_here >= _MIN_BLOCK and remaining >= _MIN_BLOCK and num > 0:
+                delta = np.abs(newo * num - obs * num_new)
+                total_delta = int(delta.sum())
+                num_items = num + num_new
+                cutoff = (num_new * 200 // _OBS_CHECK) * num
+                if in_here < 10000 and num_items < 8192:
+                    cutoff += cutoff * (8192 - num_items) // 8192
+                if total_delta + (in_here // 4096) * num >= cutoff:
+                    break
+            obs += newo
+            num += num_new
+        yield start, cut, base, int(csum[cut - 1])
+        base = int(csum[cut - 1])
+        start = cut
+
+
 def deflate_compress(data: bytes, level: int) -> bytes:
     """Compress to a raw DEFLATE stream; returns the full stream bytes.
 
@@ -91,7 +146,7 @@ def deflate_compress(data: bytes, level: int) -> bytes:
 
     w = BitWriter()
     n_items = len(kinds)
-    for start, cut, in_base, in_end in _split_items_by_input_len(
+    for start, cut, in_base, in_end in _split_items_by_stats(
         kinds, vals, SOFT_MAX_BLOCK_LENGTH
     ):
         flush_block(

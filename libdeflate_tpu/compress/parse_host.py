@@ -154,6 +154,42 @@ def _bsr(x: int) -> int:
     return x.bit_length() - 1
 
 
+def _choose_min_len(used: int, depth: int) -> int:
+    """Adaptive minimum match length from the distinct-literal count
+    (policy parity: choose_min_match_len / calculate_min_match_len,
+    lib/deflate_compress.c:2295-2378): tiny alphabets make short matches
+    cost more bits than the literals they replace."""
+    m = (9 if used <= 5 else 8 if used <= 7 else 7 if used <= 9 else
+         6 if used <= 15 else 5 if used <= 44 else 4 if used <= 79 else 3)
+    if depth < 5:
+        m = min(m, 4)
+    elif depth < 10:
+        m = min(m, 5)
+    elif depth < 16:
+        m = min(m, 7)
+    return m
+
+
+_MINLEN_SEG = 32768  # recalc cadence (the reference recalcs at block starts)
+
+
+def _adaptive_min_lens(data: bytes, depth: int) -> np.ndarray:
+    """min_match_len per 32 KiB input segment, each from the distinct-byte
+    count of the segment's first 4 KiB (the reference samples the next
+    4 KiB at each block start, lib/deflate_compress.c:2329-2353)."""
+    n = len(data)
+    if n < 512:
+        return np.full(1, 3, dtype=np.int32)
+    nseg = -(-n // _MINLEN_SEG)
+    b = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(nseg, dtype=np.int32)
+    for s in range(nseg):
+        w = b[s * _MINLEN_SEG: s * _MINLEN_SEG + 4096]
+        used = int(np.count_nonzero(np.bincount(w, minlength=256)))
+        out[s] = _choose_min_len(used, depth)
+    return out
+
+
 def parse(data: bytes, params: LevelParams) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Parse a buffer into LZ77 items (kinds, vals, offs)."""
     n = len(data)
@@ -163,10 +199,15 @@ def parse(data: bytes, params: LevelParams) -> tuple[np.ndarray, np.ndarray, np.
     vals: list[int] = []
     offs: list[int] = []
 
-    min_len = params.min_match_len
     depth = params.max_search_depth
     nice = params.nice_match_length
     lazy = params.kind in ("lazy", "lazy2")
+    # levels 2-9 adapt min_match_len to the local alphabet size; level 1
+    # keeps its fixed ht-matchfinder minimum of 4
+    if params.min_match_len > 3:
+        min_lens = np.full(1 + (n >> 15), params.min_match_len, np.int32)
+    else:
+        min_lens = _adaptive_min_lens(data, depth)
 
     i = 0
     end_matchable = n - 3
@@ -177,6 +218,7 @@ def parse(data: bytes, params: LevelParams) -> tuple[np.ndarray, np.ndarray, np.
             offs.append(0)
             i += 1
             continue
+        min_len = int(min_lens[i >> 15])
         length, offset = mf.longest_match(i, h4, h3, depth, nice, min_len - 1)
         mf.insert(i, h4, h3)
         if length < min_len:

@@ -142,6 +142,45 @@ class TestMultiBlockPythonPath:
         out = parse_optimal.compress_near_optimal(data, 10)
         assert zlib.decompressobj(-15).decompress(out) == data
 
+    def test_stats_block_splitting(self, rng):
+        # The Python engine splits blocks with the reference's online
+        # distribution-shift heuristic (should_end_block,
+        # lib/deflate_compress.c:2141-2218).  A stream that switches regime
+        # must be split near the boundary and compress tighter than one
+        # forced single block.
+        import zlib
+
+        from libdeflate_tpu.compress import engine, parse_host
+        from libdeflate_tpu.compress.emit import BitWriter, flush_block
+
+        text = (b"alpha bravo charlie delta echo foxtrot golf hotel " * 900)
+        binary = rng.integers(0, 256, size=45000, dtype=np.uint8).tobytes()
+        data = text[:45000] + binary
+
+        params = parse_host.LEVEL_PARAMS[6]
+        kinds, vals, offs = parse_host.parse(data, params)
+        blocks = list(engine._split_items_by_stats(kinds, vals, 300000))
+        assert len(blocks) >= 2, "regime change must split the block"
+        # partition invariants: contiguous, covering, input-aligned
+        assert blocks[0][0] == 0 and blocks[-1][1] == len(kinds)
+        for (s1, c1, b1, e1), (s2, c2, b2, e2) in zip(blocks, blocks[1:]):
+            assert c1 == s2 and e1 == b2
+        assert blocks[-1][3] == len(data)
+        # the split point lands near the 45000-byte regime boundary
+        assert any(abs(e - 45000) < 15000 for (_, _, _, e) in blocks[:-1])
+
+        w = BitWriter()
+        for start, cut, in_base, in_end in blocks:
+            flush_block(w, data[in_base:in_end], kinds[start:cut],
+                        vals[start:cut], offs[start:cut],
+                        is_final=(cut == len(kinds)))
+        split_out = w.finish()
+        w = BitWriter()
+        flush_block(w, data, kinds, vals, offs, is_final=True)
+        single_out = w.finish()
+        assert zlib.decompressobj(-15).decompress(split_out) == data
+        assert len(split_out) < len(single_out)
+
     def test_emit_boundary_sweep(self, rng):
         # random small inputs across levels: a zero-width item landing on a
         # 32-bit boundary of the total once crashed pack_bits_vectorized
