@@ -1607,71 +1607,60 @@ extern "C" int ld_deflate_decompress(const u8* in, size_t n, u8* out,
             if (!build_table(lens + num_ll, num_of, 8, tp->off, 402, 2)) return 1;
         } else return 1;
 
-        // fastloop: bounds hoisted to the loop condition.  Input slack 16
-        // bytes = two branchless refills per iteration.  Output slack 272
-        // bytes = at most 3 literals + a 258-byte match rounded up to the
-        // 8-byte copy unit (264), plus the 32-byte unconditional splash
-        // which stays under dst+32 <= op+3+32.  Per refill (>=56 bits) the
-        // burst is capped at three literals (<=45 bits at the 15-bit max
-        // code), leaving >=11 bits for the next main-table probe and >=26
-        // for a full length code + extra after <=2 literals.
+        // fastloop: bounds hoisted to refill points (role of
+        // FASTLOOP_MAX_BYTES_READ/WRITTEN, lib/deflate_decompress.c:274-297,
+        // but with a bits-remaining-driven burst instead of a fixed unroll).
+        // Input slack 32 bytes = up to four 8-byte branchless refills per
+        // bounds period (burst start, length extras, offset, next-entry
+        // preload).  Output slack 400 bytes = a burst of at most 56 bits /
+        // 2-bit literal pair = 56 bytes between bounds checks, plus a
+        // 258-byte match rounded up to the 8-byte copy unit (264) and the
+        // 32-byte unconditional splash.
         bool eob = false;
-        if (br.pos + 16 <= n && op + 272 <= out_avail) {
+        if (br.pos + 32 <= n && op + 400 <= out_avail) {
             br.refill_fast();
             u32 e = dec_lookup(tp->litlen, LTB, br.buf);
             for (;;) {
                 if (e & E_LIT) {
-                    // pair emit via predicted branch: keeps the store
-                    // addresses off the entry-load dependency chain
-                    br.consume(e & 0xFF);
-                    out[op] = (u8)(e >> 8);
-                    out[op + 1] = (u8)(e >> 16);
-                    op += 1 + ((e >> 30) & 1);
-                    e = dec_lookup(tp->litlen, LTB, br.buf);
-                    if (e & E_LIT) {
+                    // dynamic literal burst: keep probing while a fully
+                    // resolved lookup (main 11 + subtable 4 = 15 bits) is
+                    // guaranteed present, instead of a fixed 3-probe unroll
+                    // that refills on the 45-bit worst case.  Typical codes
+                    // are 4-9 bits, so this roughly halves refill cadence
+                    // on literal-heavy streams.
+                    for (;;) {
                         br.consume(e & 0xFF);
                         out[op] = (u8)(e >> 8);
                         out[op + 1] = (u8)(e >> 16);
                         op += 1 + ((e >> 30) & 1);
+                        if (br.cnt < 15) break;
                         e = dec_lookup(tp->litlen, LTB, br.buf);
-                        if (e & E_LIT) {
-                            // three probes consumed <= 45 bits: refill and
-                            // re-probe (bounds first: two refills/iteration).
-                            // The re-probe is issued BEFORE the refill: >= 11
-                            // bits always remain (56 - 45), so the index
-                            // window is already final and the table load
-                            // retires under the refill's shift/or chain.
-                            br.consume(e & 0xFF);
-                            out[op] = (u8)(e >> 8);
-                            out[op + 1] = (u8)(e >> 16);
-                            op += 1 + ((e >> 30) & 1);
-                            if (!(br.pos + 16 <= n && op + 272 <= out_avail))
-                                break;
-                            // raw main-table load only: a subtable's second
-                            // index needs bits [11, 15) which may not be
-                            // refilled yet — resolve those after the refill
-                            e = tp->litlen[(u32)br.buf & ((1u << LTB) - 1)];
-                            br.refill_fast();
-                            if (__builtin_expect((e & (E_LIT | E_SUB)) == E_SUB, 0)) {
-                                u32 sb = (e >> 8) & 0xF;
-                                e = tp->litlen[((e >> 16) & 0x7FFF) +
-                                             (((u32)br.buf >> LTB) & ((1u << sb) - 1))];
-                            }
-                            continue;
-                        }
+                        if (!(e & E_LIT)) goto not_literal;
                     }
+                    // ran low on bits: bounds (one check per refill
+                    // period), refill, re-probe.  Burst output between
+                    // checks is bounded by 56 bits / 2-bit pair = 56
+                    // bytes, plus a 264+32-byte match copy: < 400 slack.
+                    if (!(br.pos + 32 <= n && op + 400 <= out_avail))
+                        break;
+                    br.refill_fast();
+                    e = dec_lookup(tp->litlen, LTB, br.buf);
+                    continue;
                 }
+            not_literal:
                 if (__builtin_expect(e & E_EXC, 0)) {
                     br.consume(e & 0xFF);
                     if ((e >> 16) & 0x7FFF) return 1;
                     eob = true;
                     break;
                 }
+                // the length entry may have been probed with only 15 bits
+                // live; make its extra bits (and usually the whole offset
+                // code) present before consuming
+                if (br.cnt < 28) br.refill_fast();
                 u64 saved = br.buf;
                 br.consume(e & 0xFF);
                 u32 len = dec_value(e, saved);
-                // usually enough bits remain for offset code + extra (<=28);
-                // the refill branch is rarely taken and predicts well
                 if (br.cnt < 28) br.refill_fast();
                 u32 oe = dec_lookup(tp->off, 8, br.buf);
                 if (__builtin_expect(oe & E_EXC, 0)) return 1;
@@ -1684,7 +1673,7 @@ extern "C" int ld_deflate_decompress(const u8* in, size_t n, u8* out,
                 op += len;
                 // preload the next entry before the copy so the table load
                 // retires under the copy's stores
-                bool more = br.pos + 16 <= n && op + 272 <= out_avail;
+                bool more = br.pos + 32 <= n && op + 400 <= out_avail;
                 if (__builtin_expect(more, 1)) {
                     br.refill_fast();
                     e = dec_lookup(tp->litlen, LTB, br.buf);
