@@ -296,12 +296,28 @@ struct Parser {
     // time their slot is reused) -- the whole matchfinder state stays cache
     // resident like the reference's 16-bit tables (lib/hc_matchfinder.h)
     std::vector<s32> head4, prev4, head3;
+    // next-hash pipeline: hashes of the position the parser will probe
+    // next, computed while the current probe's chain walk is in flight and
+    // the head entries prefetched (the reference's next_hashes scheme,
+    // lib/hc_matchfinder.h:182-227).
+    u32 nh3 = 0, nh4 = 0;
+    size_t nh_pos = (size_t)-1;
     Parser(const u8* p, size_t len) : in(p), n(len),
         head4(1u << HASH4_ORDER, -1), prev4(32768, -1),
         head3(1u << HASH3_ORDER, -1) {}
     inline u32 load32(size_t i) const { u32 v; memcpy(&v, in + i, 4); return v; }
     inline u32 h4(size_t i) const { return (load32(i) * HASH_MULT) >> (32 - HASH4_ORDER); }
     inline u32 h3(size_t i) const { return ((load32(i) & 0xFFFFFF) * HASH_MULT) >> (32 - HASH3_ORDER); }
+    inline void pipeline(size_t nxt) {
+        if (nxt + 4 <= n) {
+            u32 w = load32(nxt);
+            nh4 = (w * HASH_MULT) >> (32 - HASH4_ORDER);
+            nh3 = ((w & 0xFFFFFF) * HASH_MULT) >> (32 - HASH3_ORDER);
+            nh_pos = nxt;
+            __builtin_prefetch(&head4[nh4]);
+            __builtin_prefetch(&head3[nh3]);
+        } else nh_pos = (size_t)-1;
+    }
     inline void insert(size_t i) {
         u32 h = h4(i);
         prev4[i & 32767] = head4[h]; head4[h] = (s32)i;
@@ -319,35 +335,43 @@ struct Parser {
         if (limit < 3) { if (n - i >= 4) insert(i); return 0; }
         u32 best = best_in, boff = 0;
         u32 nice_c = std::min(nice, limit);
+        u32 hh3, hh4;
+        if (nh_pos == i) { hh3 = nh3; hh4 = nh4; }
+        else { hh3 = h3(i); hh4 = h4(i); }
+        u32 first4 = load32(i);
+        s32 j = head3[hh3];
+        head3[hh3] = (s32)i;
+        s32 j4 = head4[hh4];
+        prev4[i & 32767] = j4;
+        head4[hh4] = (s32)i;
+        // with both heads consumed, kick off the next position's hashes and
+        // head prefetches before the serially dependent chain walk below
+        pipeline(i + 1);
         // hash3 singleton: a length-3 candidate only, via one 3-byte
         // compare — no extension (the reference's hc_matchfinder does the
         // same, lib/hc_matchfinder.h:213-248; longer matches always have a
         // hash4 chain entry of their own)
-        u32 hh3 = h3(i);
-        s32 j = head3[hh3];
-        head3[hh3] = (s32)i;
         if (best < 3 && j >= 0 && i - (size_t)j <= 32768) {
-            if ((load32((size_t)j) & 0xFFFFFF) == (load32(i) & 0xFFFFFF)) {
+            if ((load32((size_t)j) & 0xFFFFFF) == (first4 & 0xFFFFFF)) {
                 best = 3;
                 boff = (u32)(i - j);
             }
         }
-        u32 hh4 = h4(i);
-        j = head4[hh4];
-        prev4[i & 32767] = j;
-        head4[hh4] = (s32)i;
-        u32 first4 = load32(i);
+        j = j4;
         // Both chain phases hoist the next-node load and prefetch its
         // match bytes before touching the current node's, so the serially
         // dependent prev4 walk overlaps the data compares (the hardware
         // analogue of the reference's chain layout that keeps node+data
         // adjacent, lib/hc_matchfinder.h:182-338).
+        // single windowed-chain bound: j >= cut folds the empty (-1) and
+        // out-of-window tests into one compare per node
+        s32 cut = i > 32768 ? (s32)(i - 32768) : 0;
         // phase 1 (only while nothing >= 4 found): bare first-word compares
         // -- the reference's first-match loop (lib/hc_matchfinder.h:228-249)
-        while (best < 4 && j >= 0 && i - (size_t)j <= 32768 && depth > 0) {
+        while (best < 4 && j >= cut && depth > 0) {
             depth--;
             s32 jn = prev4[(size_t)j & 32767];
-            if (jn >= 0) __builtin_prefetch(in + (size_t)jn);
+            __builtin_prefetch(in + (size_t)(jn < 0 ? j : jn));
             if (load32((size_t)j) == first4) {
                 u32 l = extend(i, j, limit);
                 if (l >= 4) {
@@ -361,20 +385,29 @@ struct Parser {
         }
         // phase 2: improve; reject most losers with one 4-byte compare
         // spanning the current best length (the reference's
-        // last+first-4-bytes quick check, lib/hc_matchfinder.h:251-263)
-        while (j >= 0 && i - (size_t)j <= 32768 && depth > 0 && best < nice_c &&
-               best < limit) {
-            s32 jn = prev4[(size_t)j & 32767];
-            if (jn >= 0) __builtin_prefetch(in + (size_t)jn + best - 3);
-            u32 ta, tb;
-            memcpy(&ta, in + (size_t)j + best - 3, 4);
+        // last+first-4-bytes quick check, lib/hc_matchfinder.h:251-263).
+        // The i-side spanning word only changes when best improves — keep
+        // it in a register instead of reloading per node.
+        if (j >= cut && depth > 0 && best < nice_c && best < limit) {
+            u32 tb;
             memcpy(&tb, in + i + best - 3, 4);
-            if (ta == tb && load32((size_t)j) == first4) {
-                u32 l = extend(i, j, limit);
-                if (l > best) { best = l; boff = (u32)(i - j); }
-            }
-            j = jn;
-            depth--;
+            do {
+                s32 jn = prev4[(size_t)j & 32767];
+                __builtin_prefetch(in + (size_t)(jn < 0 ? j : jn) + best - 3);
+                u32 ta;
+                memcpy(&ta, in + (size_t)j + best - 3, 4);
+                if (ta == tb && load32((size_t)j) == first4) {
+                    u32 l = extend(i, j, limit);
+                    if (l > best) {
+                        best = l;
+                        boff = (u32)(i - j);
+                        if (!(best < nice_c && best < limit)) break;
+                        memcpy(&tb, in + i + best - 3, 4);
+                    }
+                }
+                j = jn;
+                depth--;
+            } while (j >= cut && depth > 0);
         }
         if (!boff || best < 3) return 0;
         *off_out = boff;
@@ -1195,6 +1228,9 @@ extern "C" size_t ld_deflate_compress(int level, const u8* in, size_t n,
     auto insert_span = [&](size_t from, size_t to) {
         size_t stop = std::min(to, end_matchable);
         for (size_t p = from; p < stop; p++) P.insert(p);
+        // parsing resumes at `to`: pre-hash it so the next longest() call
+        // starts with its head entries already in flight
+        P.pipeline(to);
     };
 
     // Block loop structure parity: deflate_compress_lazy_generic
