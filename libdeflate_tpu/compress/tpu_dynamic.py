@@ -43,6 +43,8 @@ large scatters, no global sorts.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -50,6 +52,7 @@ import numpy as np
 from .tpu_pipeline import (
     _exclusive_bit_offsets,
     _group_pack,
+    _group_premerge,
     _length_slot,
     _offset_slot,
     _parse_chunk,
@@ -338,6 +341,27 @@ def emit_dynamic_block(bp, bfinal, commit_match, commit_lit, eff, dist,
     cheaper) — the device deflate_flush_block
     (lib/deflate_compress.c:1706-2038).  Shared by the greedy/lazy parser
     above and the min-cost DP parser (tpu_optimal.py)."""
+    (val, nb, offs), aux = _emit_dynamic_pre(
+        bp, commit_match, commit_lit, eff, dist, n_pad, refine_passes
+    )
+    nwords = _dyn_nwords(n)
+    words = _group_pack(val, nb, offs, nwords, capw=DYN_CAPW)
+    return _emit_dynamic_post(words, aux, bfinal)
+
+
+def _dyn_nwords(n: int) -> int:
+    # the block-type choice guarantees emitted symbol bits <= the static
+    # cost, which is bounded by 9 bits/position, so the buffer (and the
+    # group placement's target) sizes to 9n rather than the 11n code cap
+    return (9 * n + 2 * HDR_BITS + 256 + 31) // 32
+
+
+def _emit_dynamic_pre(bp, commit_match, commit_lit, eff, dist,
+                      n_pad: int, refine_passes: int = 0):
+    """Stages of the flush that precede bit placement: symbol translation,
+    code tables, emission columns, bit offsets, and the 44 header words.
+    Returns ((val, nb, offs), aux) where aux carries everything
+    `_emit_dynamic_post` needs to finalize packed words."""
     sym_seg = _sym_seg(n_pad)
 
     lslot, lbase, lextra = _length_slot(jnp.maximum(eff, 3))
@@ -408,16 +432,10 @@ def emit_dynamic_block(bp, bfinal, commit_match, commit_lit, eff, dist,
     val = jnp.where(prev_match, val_b, jnp.where(commit_match | commit_lit, val_a, 0))
     nb = jnp.where(prev_match, nb_b, nb_a)
 
-    # ---- layout + pack ----------------------------------------------------------
+    # ---- layout ----------------------------------------------------------
     hdr_bits_n = jnp.where(use_dyn, HDR_BITS, 3)
     offs, body_bits = _exclusive_bit_offsets(nb)
     offs = offs + hdr_bits_n
-
-    # the block-type choice guarantees emitted symbol bits <= the static
-    # cost, which is bounded by 9 bits/position, so the buffer (and the
-    # group scatter's target) sizes to 9n rather than the 11n code cap
-    nwords = (9 * n + 2 * HDR_BITS + 256 + 31) // 32
-    words = _group_pack(val, nb, offs, nwords, capw=DYN_CAPW)
 
     # header words: dynamic (constant layout, 1338 bits) or static (3 bits)
     all_lens = jnp.concatenate([lit_lens, dist_lens]).astype(jnp.uint32)
@@ -435,12 +453,22 @@ def emit_dynamic_block(bp, bfinal, commit_match, commit_lit, eff, dist,
         mode="promise_in_bounds",
     )
     static_hdr = jnp.zeros(44, jnp.uint32).at[0].set(jnp.uint32(0b010))
-    words = words.at[:44].add(jnp.where(use_dyn, hdr_words, static_hdr))
+    hdr44 = jnp.where(use_dyn, hdr_words, static_hdr)
 
-    # ---- tail: EOB, byte-align, sync-flush stored marker -------------------------
     tbl_eob = table[256]
     eob_code = (tbl_eob >> 4).astype(jnp.uint32)
     eob_len = (tbl_eob & 15).astype(jnp.int32)
+    aux = (hdr44, eob_code, eob_len, hdr_bits_n, body_bits)
+    return (val, nb, offs), aux
+
+
+def _emit_dynamic_post(words, aux, bfinal):
+    """Finalize packed body words: add the header words and the EOB /
+    byte-align / sync-flush tail."""
+    hdr44, eob_code, eob_len, hdr_bits_n, body_bits = aux
+    words = words.at[:44].add(hdr44)
+
+    # ---- tail: EOB, byte-align, sync-flush stored marker -------------------------
     eob_off = body_bits + hdr_bits_n
     end = eob_off + eob_len
     pad_bits = (-(end + 3)) % 8
@@ -492,3 +520,62 @@ def compress_chunks_dynamic2(bufs: jax.Array, lengths: jax.Array, bfinal: jax.Ar
 def compress_chunks_dynamic3(bufs: jax.Array, lengths: jax.Array, bfinal: jax.Array):
     """vmapped deep-probe dynamic chunk compressor (levels >= 8)."""
     return jax.vmap(compress_chunk_dynamic3)(bufs, lengths, bfinal)
+
+
+# ---------------------------------------------------------------------------
+# Pallas-pack variants: identical compute, but bit placement runs in the
+# sequential RMW kernel (pallas_kernels.pack_groups_pallas) instead of the
+# XLA group scatter.  The kernel is batched over chunks, so the premerge
+# stays under vmap and the placement is hoisted out.
+# ---------------------------------------------------------------------------
+def _compress_chunks_dynamic_pallas(bufs, lengths, bfinal, *, two_pass: bool,
+                                    depth: int, hash3: bool,
+                                    interpret: bool = False):
+    from .pallas_kernels import pack_groups_pallas
+
+    n = bufs.shape[1]
+
+    def front(b, length, fin):
+        n_pad, _, _ = _segment_sizes(n, wide=not (two_pass or hash3))
+        bp, pos, commit_match, commit_lit, eff, dist = _parse_chunk(
+            b, length, lazy=True, two_pass=two_pass, depth=depth,
+            hash3=hash3, wide_ext=two_pass or hash3,
+            wide_window=not (two_pass or hash3),
+        )
+        refine_passes = 16 if (two_pass or hash3) else 0
+        (val, nb, offs), aux = _emit_dynamic_pre(
+            bp, commit_match, commit_lit, eff, dist, n_pad, refine_passes
+        )
+        sbuf, gw = _group_premerge(val, nb, offs, capw=DYN_CAPW)
+        return sbuf, gw, aux
+
+    sbuf, gw, aux = jax.vmap(front)(bufs, lengths, bfinal)
+    words = pack_groups_pallas(sbuf, gw, _dyn_nwords(n), interpret=interpret)
+    return jax.vmap(_emit_dynamic_post)(words, aux, bfinal)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def compress_chunks_dynamic_pallas(bufs, lengths, bfinal, interpret=False):
+    """Single-pass tier with the Pallas bit-pack kernel."""
+    return _compress_chunks_dynamic_pallas(
+        bufs, lengths, bfinal, two_pass=False, depth=6, hash3=False,
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def compress_chunks_dynamic2_pallas(bufs, lengths, bfinal, interpret=False):
+    """Two-pass tier (levels 6-7) with the Pallas bit-pack kernel."""
+    return _compress_chunks_dynamic_pallas(
+        bufs, lengths, bfinal, two_pass=True, depth=6, hash3=False,
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def compress_chunks_dynamic3_pallas(bufs, lengths, bfinal, interpret=False):
+    """Deep-probe tier (levels >= 8) with the Pallas bit-pack kernel."""
+    return _compress_chunks_dynamic_pallas(
+        bufs, lengths, bfinal, two_pass=True, depth=12, hash3=True,
+        interpret=interpret,
+    )

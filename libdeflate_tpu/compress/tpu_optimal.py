@@ -45,6 +45,8 @@ segment ends by the ladder feasibility mask, and the commit FSM
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -269,3 +271,75 @@ def compress_chunks_optimal_deep(bufs: jax.Array, lengths: jax.Array,
             b, l, f, depth=12, two_pass=True, hash3=True
         )
     )(bufs, lengths, bfinal)
+
+
+# ---------------------------------------------------------------------------
+# Pallas variants: the backwards DP runs in the VMEM-scratch kernel
+# (pallas_kernels.dp_parse_pallas) across all segments of the whole batch
+# at once, and bit placement uses the Pallas pack kernel.  Candidate
+# generation, cost seeding, commit, and entropy coding are unchanged.
+# ---------------------------------------------------------------------------
+def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
+                                    two_pass: bool, hash3: bool,
+                                    interpret: bool = False):
+    from .pallas_kernels import dp_parse_pallas, pack_groups_pallas
+    from .tpu_dynamic import (
+        DYN_CAPW,
+        _dyn_nwords,
+        _emit_dynamic_post,
+        _emit_dynamic_pre,
+    )
+    from .tpu_pipeline import _group_premerge
+
+    n = bufs.shape[1]
+
+    def cand(b, length):
+        bp, pos, lenA, dA, lenB, dB, d3 = _parse_candidates(
+            b, length, depth=depth, two_pass=two_pass, hash3=hash3,
+            wide_window=not (two_pass or hash3),
+        )
+        cost_lit = _literal_costs(bp, length, bp.shape[0])
+        return bp, pos, cost_lit, lenA, dA, lenB, dB, d3
+
+    bp, pos, cost_lit, lenA, dA, lenB, dB, d3 = jax.vmap(cand)(bufs, lengths)
+    n_pad = bp.shape[1]
+    S_eff = DP_SEG if (n_pad % DP_SEG == 0 and n_pad >= DP_SEG) else n_pad
+
+    span, dist = dp_parse_pallas(
+        cost_lit, lenA, dA, lenB, dB, d3, S=S_eff, interpret=interpret
+    )
+
+    def back(bp, pos, span, dist, length, fin):
+        is_match = (span >= 3) & (dist > 0)
+        committed, eff = _greedy_commit(span, is_match, S_eff)
+        live = pos < length
+        commit_match = committed & (eff >= 3) & live
+        commit_lit = committed & (eff < 3) & live
+        (val, nb, offs), aux = _emit_dynamic_pre(
+            bp, commit_match, commit_lit, eff, dist, bp.shape[0],
+            refine_passes=16,
+        )
+        sbuf, gw = _group_premerge(val, nb, offs, capw=DYN_CAPW)
+        return sbuf, gw, aux
+
+    sbuf, gw, aux = jax.vmap(back)(bp, pos, span, dist, lengths, bfinal)
+    words = pack_groups_pallas(sbuf, gw, _dyn_nwords(n), interpret=interpret)
+    return jax.vmap(_emit_dynamic_post)(words, aux, bfinal)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def compress_chunks_optimal_pallas(bufs, lengths, bfinal, interpret=False):
+    """DP-parse tier with the Pallas DP + pack kernels."""
+    return _compress_chunks_optimal_pallas(
+        bufs, lengths, bfinal, depth=6, two_pass=False, hash3=False,
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def compress_chunks_optimal_deep_pallas(bufs, lengths, bfinal, interpret=False):
+    """Deep DP tier (rescue pass + hash3 + 12-deep) with Pallas kernels."""
+    return _compress_chunks_optimal_pallas(
+        bufs, lengths, bfinal, depth=12, two_pass=True, hash3=True,
+        interpret=interpret,
+    )

@@ -433,14 +433,13 @@ _GROUP = 128
 _GROUP_CAPW = 37  # 128 positions * <=9 bits = 1152 bits -> 36 words + carry
 
 
-def _group_pack(values: jax.Array, nbits: jax.Array, offs: jax.Array,
-                nwords: int, capw: int = _GROUP_CAPW) -> jax.Array:
-    """Pack per-position (value, nbits) items at absolute bit offsets
-    `offs` into a word array, WITHOUT a per-item scatter: 32-position
-    groups pre-merge into `capw`-word buffers with one-hot disjoint-bit
-    sums (a group of 32 positions never exceeds 288 bits under the static
-    code; 352 under a length-11-capped dynamic code), then one small
-    scatter-add places whole groups."""
+def _group_premerge(values: jax.Array, nbits: jax.Array, offs: jax.Array,
+                    capw: int = _GROUP_CAPW):
+    """Stage 1 of the group pack: merge 128-position groups into
+    (capw+1)-word buffers already shifted to the group's in-word bit
+    offset.  Returns (sbuf [m, capw+1] u32, gw [m] i32 absolute start
+    words) — the placement stage (`_group_place` scatter-add, or the
+    Pallas RMW kernel in pallas_kernels.py) ORs these at gw."""
     n = values.shape[0]
     m = n // _GROUP
     v = values.reshape(m, _GROUP)
@@ -479,7 +478,14 @@ def _group_pack(values: jax.Array, nbits: jax.Array, offs: jax.Array,
     sbuf = jnp.concatenate(
         [slo, jnp.zeros((m, 1), jnp.uint32)], axis=1
     ) | jnp.concatenate([shi, last_hi], axis=1)
-    tgt = gw[:, None] + jnp.arange(capw + 1, dtype=jnp.int32)[None, :]
+    return sbuf, gw
+
+
+def _group_place(sbuf: jax.Array, gw: jax.Array, nwords: int) -> jax.Array:
+    """Stage 2 (XLA path): scatter-add whole group buffers at their start
+    words."""
+    m, capw1 = sbuf.shape
+    tgt = gw[:, None] + jnp.arange(capw1, dtype=jnp.int32)[None, :]
     # clamp instead of drop-mode: out-of-range rows only carry zero bits,
     # and the in-bounds promise avoids XLA's per-update bounds masking
     tgt = jnp.minimum(tgt, nwords - 1)
@@ -488,6 +494,16 @@ def _group_pack(values: jax.Array, nbits: jax.Array, offs: jax.Array,
         sbuf.reshape(-1), mode="promise_in_bounds"
     )
     return words
+
+
+def _group_pack(values: jax.Array, nbits: jax.Array, offs: jax.Array,
+                nwords: int, capw: int = _GROUP_CAPW) -> jax.Array:
+    """Pack per-position (value, nbits) items at absolute bit offsets
+    `offs` into a word array, WITHOUT a per-item scatter: 128-position
+    groups pre-merge into `capw`-word buffers with one-hot disjoint-bit
+    sums, then one small scatter-add places whole groups."""
+    sbuf, gw = _group_premerge(values, nbits, offs, capw)
+    return _group_place(sbuf, gw, nwords)
 
 
 def _hash3_matchfind(h3: jax.Array, words: jax.Array, seg: int):

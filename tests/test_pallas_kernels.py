@@ -1,0 +1,115 @@
+"""Pallas kernel equivalence tests (interpret mode on the CPU mesh).
+
+The two sequential-core kernels (pallas_kernels.py) must be bit-exact
+replacements for the XLA formulations they shadow:
+
+- dp_parse_pallas vs tpu_optimal._dp_parse (the backwards min-cost DP,
+  role parity with deflate_find_min_cost_path,
+  /root/reference/lib/deflate_compress.c:3327-3399)
+- pack_groups_pallas vs tpu_pipeline._group_place (bit placement, the
+  ADD_BITS/FLUSH_BITS role, lib/deflate_compress.c:688-751)
+
+plus whole-pipeline equivalence of the _pallas compressor entry points.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import zlib
+
+from libdeflate_tpu.compress import tpu_dynamic as td
+from libdeflate_tpu.compress import tpu_optimal as to
+from libdeflate_tpu.compress import tpu_pipeline as tp
+from libdeflate_tpu.compress.pallas_kernels import (
+    dp_parse_pallas,
+    pack_groups_pallas,
+)
+from libdeflate_tpu.compress.tpu_pipeline import device_stream_to_bytes
+
+
+def test_dp_kernel_matches_xla():
+    rng = np.random.default_rng(0)
+    S = 256
+    B, n_pad = 2, 512
+    cost_lit = rng.integers(16, 180, (B, n_pad)).astype(np.int32)
+    lenA = rng.integers(0, 259, (B, n_pad)).astype(np.int32)
+    dA = rng.integers(1, 32769, (B, n_pad)).astype(np.int32)
+    lenB = np.minimum(rng.integers(0, 259, (B, n_pad)), lenA).astype(np.int32)
+    dB = rng.integers(1, 32769, (B, n_pad)).astype(np.int32)
+    d3 = np.where(
+        rng.random((B, n_pad)) < 0.5, rng.integers(1, 8193, (B, n_pad)), 0
+    ).astype(np.int32)
+
+    spans_ref, dists_ref = [], []
+    for b in range(B):
+        cdA = to._dist_cost(jnp.asarray(dA[b]))
+        cdB = to._dist_cost(jnp.asarray(dB[b]))
+        cd3 = to._dist_cost(jnp.asarray(d3[b]))
+        s, d = to._dp_parse(
+            jnp.asarray(cost_lit[b]), jnp.asarray(lenA[b]), jnp.asarray(dA[b]),
+            cdA, jnp.asarray(lenB[b]), jnp.asarray(dB[b]), cdB,
+            jnp.asarray(d3[b]), cd3, S,
+        )
+        spans_ref.append(np.asarray(s))
+        dists_ref.append(np.asarray(d))
+
+    sp, dp = dp_parse_pallas(
+        jnp.asarray(cost_lit), jnp.asarray(lenA), jnp.asarray(dA),
+        jnp.asarray(lenB), jnp.asarray(dB), jnp.asarray(d3),
+        S=S, interpret=True,
+    )
+    assert np.array_equal(np.asarray(sp), np.stack(spans_ref))
+    assert np.array_equal(np.asarray(dp), np.stack(dists_ref))
+
+
+def test_pack_kernel_matches_scatter():
+    rng = np.random.default_rng(1)
+    n = 128 * 40
+    nbits = rng.integers(1, 10, n).astype(np.int32)
+    values = rng.integers(0, 1 << 31, n).astype(np.uint32) & (
+        (np.uint32(1) << nbits.astype(np.uint32)) - 1
+    )
+    offs = np.concatenate([[0], np.cumsum(nbits)[:-1]]).astype(np.int32)
+    nwords = int((offs[-1] + nbits[-1] + 31) // 32) + 2
+
+    sbuf, gw = tp._group_premerge(
+        jnp.asarray(values), jnp.asarray(nbits), jnp.asarray(offs)
+    )
+    ref = np.asarray(tp._group_place(sbuf, gw, nwords))
+    out = np.asarray(
+        pack_groups_pallas(sbuf[None], gw[None], nwords, interpret=True)
+    )[0]
+    assert np.array_equal(out, ref)
+
+
+@pytest.mark.parametrize(
+    "ref_fn,pal_fn",
+    [
+        (td.compress_chunks_dynamic, td.compress_chunks_dynamic_pallas),
+        (to.compress_chunks_optimal, to.compress_chunks_optimal_pallas),
+    ],
+    ids=["dynamic", "optimal"],
+)
+def test_pallas_compressor_bit_exact(ref_fn, pal_fn):
+    rng = np.random.default_rng(5)
+    N = 1 << 16
+    txt = (open("/root/reference/README.md", "rb").read() * 20)[:N]
+    rec = np.tile(rng.integers(0, 256, 64, dtype=np.uint8), N // 64).tobytes()
+    bufs = np.stack([np.frombuffer(txt, np.uint8), np.frombuffer(rec, np.uint8)])
+    lengths = np.array([N, N], np.int32)
+    bfinal = np.array([True, True])
+
+    w_ref, t_ref = ref_fn(
+        jnp.asarray(bufs), jnp.asarray(lengths), jnp.asarray(bfinal)
+    )
+    w_pal, t_pal = pal_fn(
+        jnp.asarray(bufs), jnp.asarray(lengths), jnp.asarray(bfinal),
+        interpret=True,
+    )
+    w_ref, t_ref, w_pal, t_pal = map(np.asarray, (w_ref, t_ref, w_pal, t_pal))
+    assert np.array_equal(t_ref, t_pal)
+    for k in range(2):
+        a = device_stream_to_bytes(w_ref[k], t_ref[k])
+        b = device_stream_to_bytes(w_pal[k], t_pal[k])
+        assert a == b
+        assert zlib.decompressobj(-15).decompress(b) == bufs[k].tobytes()
