@@ -1,0 +1,727 @@
+"""Device-resident DEFLATE decoder as a Pallas scalar kernel.
+
+The round-1 design-space closure (PERF_NOTES.md) showed every *vectorized*
+lockstep formulation of DEFLATE decode is floor-bounded by XLA's scatter
+and gather costs (~5-10 MB/s).  This module takes the other lane the chip
+offers: the **scalar core**.  DEFLATE decode is irreducibly serial per
+chunk (every bit boundary depends on the previous symbol — SURVEY.md §3.2),
+which is exactly what the scalar unit runs well: the whole decoder state
+(bit cursor, Huffman tables, the 32 KiB LZ window) lives in SMEM, the
+per-symbol loop is plain scalar control flow, and the only vector-unit
+involvement is DMA.
+
+Role parity: the one-shot fastloop decoder of the reference
+(/root/reference/lib/decompress_template.h:44-772 and the table builder at
+lib/deflate_decompress.c:721-1004), re-expressed as an on-chip kernel:
+
+- **Input staging**: the compressed stream (u32 words, zero-padded by the
+  host) stays in HBM; a 2048-word SMEM window is re-staged by one
+  synchronous DMA each time the cursor approaches its end (~43 refills
+  per 1 MiB chunk — noise next to the decode loop).
+- **Decode tables** are built in SMEM by a scalar port of the native
+  builder (native/ldtpu_native.cpp build_table): counting-sort canonical
+  order, one-level subtables, the two zlib-lax incomplete-code cases
+  (single len-1 codeword / empty code) accepted exactly like the other
+  three decoders.
+- **LZ window**: a 32 KiB ring of i32 words in SMEM.  DEFLATE offsets
+  never exceed 32768, so matches always resolve inside the ring; each
+  time `op` crosses a 32 KiB boundary the (exactly linear) ring is flushed
+  to the output in HBM with one DMA.
+- **Known-size contract**: the caller passes the expected output size per
+  chunk (the device API's fixed-shape mode); corrupt streams set a
+  per-chunk status code and stop, with every loop bounded by input/output
+  sizes (DoS discipline of lib/deflate_decompress.c:48-61).
+
+Grid = (B,): chunks decode sequentially on the scalar core; chunk-level
+parallelism comes from the mesh axis (parallel/mesh.py), matching the
+chunk-DP model everywhere else in this framework.
+
+Entry format (i32, this module's own — decode needs one load per symbol):
+  bits 0..7   total consume bits (codeword + extra)
+  bits 8..11  codeword length (to locate the extra field in the window)
+  bits 12..13 kind: 0 literal, 1 base payload (length/offset), 2 EOB/bad,
+              3 subtable pointer (payload = subtable start, len = width)
+  bits 16..30 payload (literal byte / base value / subtable start)
+A `kind 2` entry with payload 1 marks an invalid codeword.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# ---------------------------------------------------------------------------
+# Constants (RFC 1951; parity with formats/deflate.py)
+# ---------------------------------------------------------------------------
+LEN_BASE = np.array(
+    [3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31, 35, 43, 51,
+     59, 67, 83, 99, 115, 131, 163, 195, 227, 258], np.int32)
+LEN_EXTRA = np.array(
+    [0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4,
+     4, 5, 5, 5, 5, 0], np.int32)
+OFF_BASE = np.array(
+    [1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 193, 257, 385,
+     513, 769, 1025, 1537, 2049, 3073, 4097, 6145, 8193, 12289, 16385,
+     24577], np.int32)
+OFF_EXTRA = np.array(
+    [0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9, 9, 10,
+     10, 11, 11, 12, 12, 13, 13], np.int32)
+PRECODE_PERM = np.array(
+    [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15],
+    np.int32)
+
+LTB = 11                       # litlen main-table bits
+OTB = 8                        # offset main-table bits
+PTB = 7                        # precode table bits
+LL_SIZE = (1 << LTB) + 294     # main + worst-case subtables
+OF_SIZE = (1 << OTB) + 146
+STAGE_W = 2048                 # staged input words (8 KiB)
+RING_W = 8192                  # 32 KiB window ring, as i32 words
+
+K_LIT, K_BASE, K_EOB, K_SUB = 0, 1, 2, 3
+
+# status codes (match api.py result codes)
+OK, BAD_DATA = 0, 1
+
+
+def _static_lens() -> np.ndarray:
+    lens = np.zeros(288 + 32, np.int32)
+    sym = np.arange(288)
+    lens[:288] = np.where(sym < 144, 8, np.where(sym < 256, 9,
+                          np.where(sym < 280, 7, 8)))
+    lens[288:] = 5
+    return lens
+
+
+_STATIC_LENS = _static_lens()
+
+# One SMEM constant table (Mosaic kernels cannot capture jnp constants):
+# [0:29) LEN_BASE  [29:58) LEN_EXTRA  [58:88) OFF_BASE  [88:118) OFF_EXTRA
+# [118:137) PRECODE_PERM  [137:457) static litlen+offset lens
+_CONSTS = np.concatenate(
+    [LEN_BASE, LEN_EXTRA, OFF_BASE, OFF_EXTRA, PRECODE_PERM, _STATIC_LENS]
+).astype(np.int32)
+_C_LB, _C_LE, _C_OB, _C_OE, _C_PP, _C_SL = 0, 29, 58, 88, 118, 137
+
+
+# ---------------------------------------------------------------------------
+# Kernel helpers (traced, scalar)
+# ---------------------------------------------------------------------------
+def _shr(x, s):
+    return jax.lax.shift_right_logical(x, s)
+
+
+def _shl(x, s):
+    return jax.lax.shift_left(x, s)
+
+
+def _rev_bits(code, nbits):
+    """Bit-reverse the low `nbits` of code (codeword -> table index)."""
+    v = code
+    out = jnp.int32(0)
+
+    def body(k, st):
+        o, vv = st
+        return (_shl(o, 1) | (vv & 1), _shr(vv, 1))
+
+    out, _ = jax.lax.fori_loop(0, 15, body, (out, v))
+    return _shr(out, 15 - nbits)
+
+
+def _make_entry(role, sym, length, consts):
+    """Packed entry for a resolved codeword (see module docstring).
+
+    role: 0 precode, 1 litlen, 2 offset (python-static); consts is the
+    SMEM constant-table ref (_CONSTS layout).
+    """
+    if role == 0:
+        return (sym << 16) | (length << 8) | length  # kind 0, payload=sym
+    if role == 1:
+        lit = (sym << 16) | (K_LIT << 12) | (length << 8) | length
+        eob = (K_EOB << 12) | (length << 8) | length
+        bad = (1 << 16) | (K_EOB << 12) | (length << 8) | length
+        ls = jnp.clip(sym - 257, 0, 28)
+        base = consts[_C_LB + ls]
+        extra = consts[_C_LE + ls]
+        mat = ((base << 16) | (K_BASE << 12) | (length << 8)
+               | (length + extra))
+        return jnp.where(
+            sym < 256, lit,
+            jnp.where(sym == 256, eob, jnp.where(sym <= 285, mat, bad)))
+    osym = jnp.clip(sym, 0, 29)
+    base = consts[_C_OB + osym]
+    extra = consts[_C_OE + osym]
+    mat = (base << 16) | (K_BASE << 12) | (length << 8) | (length + extra)
+    bad = (1 << 16) | (K_EOB << 12) | (length << 8) | length
+    return jnp.where(sym < 30, mat, bad)
+
+
+def _build_table_scalar(lens_ref, lens_off, nsyms, table_bits, table_ref,
+                        enough, role, aux_ref, consts):
+    """Scalar port of the native decode-table builder (returns ok flag).
+
+    lens_ref[lens_off + i] for i < nsyms are the codeword lengths.
+    aux_ref: SMEM i32 scratch laid out as
+      [0:17)    len counts / offsets
+      [32:320)  canonical-order symbols
+      [320:608) stash rc
+      [608:896) stash len
+      [896:1184) stash sym
+    """
+    # count lengths
+    def zero(i, _):
+        aux_ref[i] = 0
+        return 0
+    jax.lax.fori_loop(0, 17, zero, 0)
+
+    def count(i, _):
+        l = lens_ref[lens_off + i]
+        aux_ref[l] = aux_ref[l] + jnp.where(l > 0, 1, 0)
+        return 0
+    jax.lax.fori_loop(0, nsyms, count, 0)
+
+    # Kraft space
+    def space_acc(l, s):
+        return s + _shl(aux_ref[l], 15 - l)
+    space = jax.lax.fori_loop(1, 16, space_acc, jnp.int32(0))
+
+    def incomplete():
+        # zlib-lax: accept the empty code and the single len-1 codeword
+        # (native build_table does the same; ref lib/deflate_decompress.c:
+        # 803-853)
+        bad = (space != 0) & ((space != (1 << 14)) | (aux_ref[1] != 1))
+
+        def find_sym(i, s):
+            return jnp.where(
+                (s < 0) & (lens_ref[lens_off + i] == 1), i, s)
+        sym = jax.lax.fori_loop(0, nsyms, find_sym, jnp.int32(-1))
+        sym = jnp.where(space == 0, 0, jnp.maximum(sym, 0))
+        e = _make_entry(role, sym, jnp.int32(1), consts)
+
+        def fill(i, _):
+            table_ref[i] = e
+            return 0
+        jax.lax.fori_loop(0, 1 << table_bits, fill, 0)
+        return jnp.where(bad, jnp.int32(0), jnp.int32(1))
+
+    def complete():
+        # offsets for counting sort: aux[l+1] = cumsum of counts
+        def offs(l, acc):
+            c = aux_ref[l]
+            aux_ref[l] = acc            # offs[l] (reuse the count slots)
+            return acc + c
+        nused = jax.lax.fori_loop(1, 16, offs, jnp.int32(0))
+        aux_ref[16] = nused
+
+        def place(i, _):
+            l = lens_ref[lens_off + i]
+
+            @pl.when(l > 0)
+            def _():
+                o = aux_ref[l]
+                aux_ref[32 + o] = i
+                aux_ref[l] = o + 1
+            return 0
+        jax.lax.fori_loop(0, nsyms, place, 0)
+
+        mask = jnp.int32((1 << table_bits) - 1)
+
+        # canonical codeword walk; codewords longer than table_bits go to
+        # the stash (they are contiguous per subtable prefix)
+        def walk(oi, st):
+            code, prev_len, nstash = st
+            sym = aux_ref[32 + oi]
+            l = lens_ref[lens_off + sym]
+            code = _shl(code, l - prev_len)
+            rc = _rev_bits(code, l)
+            e = _make_entry(role, sym, l, consts)
+
+            @pl.when(l <= table_bits)
+            def _():
+                def fill(k, idx):
+                    table_ref[idx] = e
+                    return idx + _shl(1, l)
+                span = _shr(jnp.int32(1 << table_bits), l)
+                jax.lax.fori_loop(0, span, fill, rc)
+
+            @pl.when(l > table_bits)
+            def _():
+                aux_ref[320 + nstash] = rc
+                aux_ref[608 + nstash] = l
+                aux_ref[896 + nstash] = sym
+            nstash = nstash + jnp.where(l > table_bits, 1, 0)
+            return (code + 1, l, nstash)
+
+        _, _, nstash = jax.lax.fori_loop(
+            0, nused, walk, (jnp.int32(0), jnp.int32(1), jnp.int32(0)))
+
+        # subtables: one run per shared low-table_bits prefix
+        def sub_cond(st):
+            i, cur_sub, ok = st
+            return (i < nstash) & (ok == 1)
+
+        def sub_body(st):
+            i, cur_sub, ok = st
+            prefix = aux_ref[320 + i] & mask
+
+            def run_end(j, e):
+                same = (j < nstash) & ((aux_ref[320 + j] & mask) == prefix)
+                return jnp.where(same & (e == j), j + 1, e)
+            j = jax.lax.fori_loop(i, 288, run_end, i)
+            sub_bits = aux_ref[608 + j - 1] - table_bits
+            sub_start = cur_sub
+            cur_sub = cur_sub + _shl(1, sub_bits)
+            ok = jnp.where(cur_sub > enough, 0, ok)
+
+            @pl.when(ok == 1)
+            def _():
+                table_ref[prefix] = ((sub_start << 16) | (K_SUB << 12)
+                                     | (sub_bits << 8))
+
+                def fill_run(t, _):
+                    rc = aux_ref[320 + t]
+                    l = aux_ref[608 + t]
+                    sym = aux_ref[896 + t]
+                    e = _make_entry(role, sym, l, consts)
+                    hi = _shr(rc, table_bits)
+                    step = _shl(1, l - table_bits)
+
+                    def fill(k, idx):
+                        table_ref[sub_start + idx] = e
+                        return idx + step
+                    span = _shr(_shl(jnp.int32(1), sub_bits),
+                                l - table_bits)
+                    jax.lax.fori_loop(0, span, fill, hi)
+                    return 0
+                jax.lax.fori_loop(i, j, fill_run, 0)
+            return (j, cur_sub, ok)
+
+        _, _, ok = jax.lax.while_loop(
+            sub_cond, sub_body,
+            (jnp.int32(0), jnp.int32(1 << table_bits), jnp.int32(1)))
+        return ok
+
+    over = space > (1 << 15)
+    ok = jax.lax.cond(space == (1 << 15), complete, incomplete)
+    return jnp.where(over, jnp.int32(0), ok)
+
+
+def _decode_kernel(clen_ref, olen_ref, consts_ref, comp_ref, out_ref,
+                   status_ref, stage, ring, ll_tab, of_tab, pre_tab, lens,
+                   aux, sem_in, sem_out):
+    b = pl.program_id(0)
+    in_words = _shr(clen_ref[b] + 3, 2)
+    olen = olen_ref[b]
+
+    # ---- input staging ----------------------------------------------------
+    # stage holds words [aux_base, aux_base + STAGE_W); refilled in one
+    # synchronous DMA when the cursor's word+1 leaves the window.  The host
+    # zero-pads the compressed array by STAGE_W words, so the DMA source is
+    # always in bounds and overread bits decode as zeros (the appended-zeros
+    # tolerance of lib/deflate_decompress.c:214-254).
+    def stage_from(w0):
+        w0 = jnp.minimum(w0, comp_ref.shape[1] - STAGE_W)
+        cp = pltpu.make_async_copy(
+            comp_ref.at[b, pl.ds(w0, STAGE_W)],
+            stage,
+            sem_in,
+        )
+        cp.start()
+        cp.wait()
+
+    stage_from(0)
+
+    # bit cursor t (bits), staging base (words) carried through the loops
+    def peek32(t, base):
+        w = _shr(t, 5) - base
+        s = t & 31
+        lo = _shr(stage[w], s)
+        hi = _shl(_shl(stage[w + 1], 31 - s), 1)
+        return lo | hi
+
+    def ensure(t, base):
+        """Refill staging if word(t)+1 is outside the window; returns base."""
+        pred = _shr(t, 5) + 1 - base >= STAGE_W
+        nb = _shr(t, 5)
+
+        @pl.when(pred)
+        def _():
+            stage_from(nb)
+        return jnp.where(pred, nb, base)
+
+    # ---- ring (LZ window) -------------------------------------------------
+    def ring_write(op, byte):
+        w = _shr(op, 2) & (RING_W - 1)
+        sh = _shl(op & 3, 3)
+        old = ring[w] & ~_shl(jnp.int32(0xFF), sh)
+        ring[w] = old | _shl(byte & 0xFF, sh)
+
+    def ring_read(pos):
+        w = _shr(pos, 2) & (RING_W - 1)
+        sh = _shl(pos & 3, 3)
+        return _shr(ring[w], sh) & 0xFF
+
+    def flush(op_end):
+        """DMA the ring to out; called exactly at 32 KiB boundaries and at
+        the end.  op_end is the output byte count; the flushed span is
+        [op_end - (op_end mod 32768 or 32768), op_end) rounded up to words
+        (the out array is word-padded by the host)."""
+        rem = op_end & (RING_W * 4 - 1)
+        nbytes = jnp.where(rem == 0, RING_W * 4, rem)
+        nw = _shr(nbytes + 3, 2)
+        start_w = _shr(op_end - nbytes, 2)
+        cp = pltpu.make_async_copy(
+            ring.at[pl.ds(0, RING_W)],
+            out_ref.at[b, pl.ds(start_w, RING_W)],
+            sem_out,
+        )
+        # full-ring DMA keeps the shape static; the host over-allocates
+        # out by RING_W words so the tail flush stays in bounds, and
+        # later flushes never rewrite earlier bytes (start_w is
+        # monotone, ring content for [start_w*4, op_end) is exact)
+        del nw
+        cp.start()
+        cp.wait()
+
+    # ---- block loop -------------------------------------------------------
+    # state: (t, base, op, status, final, done)
+    def blk_cond(st):
+        t, base, op, status, final, done = st
+        return (done == 0) & (status == OK)
+
+    def blk_body(st):
+        t, base, op, status, final, done = st
+        base = ensure(t, base)
+        hdr = peek32(t, base)
+        t = t + 3
+        final = hdr & 1
+        btype = _shr(hdr, 1) & 3
+
+        def do_stored(t, base, op):
+            # align, LEN/NLEN, byte copy through the ring
+            t2 = (t + 7) & ~7
+            base2 = ensure(t2, base)
+            v = peek32(t2, base2)
+            ln = v & 0xFFFF
+            nlen = _shr(v, 16) & 0xFFFF
+            bad = (ln ^ 0xFFFF) != nlen
+            t3 = t2 + 32
+
+            def copy(k, st2):
+                tt, bb, oo = st2
+                bb = ensure(tt, bb)
+                byte = peek32(tt, bb) & 0xFF
+                ring_write(oo, byte)
+                oo = oo + 1
+
+                @pl.when((oo & (RING_W * 4 - 1)) == 0)
+                def _():
+                    flush(oo)
+                return (tt + 8, bb, oo)
+
+            t4, base3, op2 = jax.lax.fori_loop(
+                0, jnp.where(bad, 0, ln), copy, (t3, base2, op))
+            st_out = jnp.where(bad, BAD_DATA, OK)
+            return t4, base3, op2, st_out
+
+        def do_huffman(t, base, op, btype):
+            # ---- table setup ----
+            def static_tables():
+                def setl(i, _):
+                    lens[i] = consts_ref[_C_SL + i]
+                    return 0
+                jax.lax.fori_loop(0, 320, setl, 0)
+                return t, base, jnp.int32(288), jnp.int32(32), jnp.int32(OK)
+
+            def dynamic_tables():
+                tt = t
+                bb = ensure(tt, base)
+                v = peek32(tt, bb)
+                num_ll = 257 + (v & 31)
+                num_of = 1 + (_shr(v, 5) & 31)
+                num_pre = 4 + (_shr(v, 10) & 15)
+                tt = tt + 14
+
+                def clr(i, _):
+                    lens[1184 + i] = 0
+                    return 0
+                jax.lax.fori_loop(0, 19, clr, 0)
+
+                def rd_pre(i, st2):
+                    tt2, bb2 = st2
+                    bb2 = ensure(tt2, bb2)
+                    lens[1184 + consts_ref[_C_PP + i]] = (
+                        peek32(tt2, bb2) & 7)
+                    return (tt2 + 3, bb2)
+                tt, bb = jax.lax.fori_loop(0, num_pre, rd_pre, (tt, bb))
+
+                ok = _build_table_scalar(
+                    lens, jnp.int32(1184), jnp.int32(19), PTB, pre_tab,
+                    jnp.int32(128), 0, aux, consts_ref)
+
+                # RLE-decode the litlen+offset lengths
+                total = num_ll + num_of
+
+                def rle_cond(st2):
+                    i, tt2, bb2, okk = st2
+                    return (i < total) & (okk == 1)
+
+                def rle_body(st2):
+                    i, tt2, bb2, okk = st2
+                    bb2 = ensure(tt2, bb2)
+                    w = peek32(tt2, bb2)
+                    e = pre_tab[w & ((1 << PTB) - 1)]
+                    cl = e & 0xFF
+                    sym = _shr(e, 16)
+                    tt2 = tt2 + cl
+                    bb2 = ensure(tt2, bb2)
+                    w2 = peek32(tt2, bb2)
+
+                    def lit_case():
+                        lens[i] = sym
+                        return (i + 1, tt2, jnp.int32(0))
+
+                    def rep_case():
+                        prev = jnp.where(i > 0, lens[jnp.maximum(i - 1, 0)],
+                                         0)
+                        is16 = sym == 16
+                        is17 = sym == 17
+                        rep = jnp.where(
+                            is16, 3 + (w2 & 3),
+                            jnp.where(is17, 3 + (w2 & 7), 11 + (w2 & 127)))
+                        ebits = jnp.where(is16, 2, jnp.where(is17, 3, 7))
+                        val = jnp.where(is16, prev, 0)
+                        bad2 = (is16 & (i == 0)) | (i + rep > total)
+
+                        def wr(k, _):
+                            lens[i + k] = val
+                            return 0
+                        jax.lax.fori_loop(
+                            0, jnp.where(bad2, 0, rep), wr, 0)
+                        return (i + rep, tt2 + ebits,
+                                jnp.where(bad2, 1, 0))
+
+                    i2, tt3, bad = jax.lax.cond(sym < 16, lit_case, rep_case)
+                    okk = jnp.where(bad == 1, 0, okk)
+                    return (i2, tt3, bb2, okk)
+
+                i, tt, bb, ok2 = jax.lax.while_loop(
+                    rle_cond, rle_body, (jnp.int32(0), tt, bb, ok))
+                stat = jnp.where(ok2 == 1, OK, BAD_DATA)
+                return tt, bb, num_ll, num_of, stat
+
+            tt, bb, num_ll, num_of, stat = jax.lax.cond(
+                btype == 1, static_tables, dynamic_tables)
+
+            ok_l = _build_table_scalar(
+                lens, jnp.int32(0), num_ll, LTB, ll_tab,
+                jnp.int32(LL_SIZE), 1, aux, consts_ref)
+            ok_o = _build_table_scalar(
+                lens, num_ll, num_of, OTB, of_tab,
+                jnp.int32(OF_SIZE), 2, aux, consts_ref)
+            stat = jnp.where((ok_l == 0) | (ok_o == 0), BAD_DATA, stat)
+
+            # ---- item loop ----
+            # state: (t, base, op, status, eob)
+            def item_cond(st2):
+                tt2, bb2, oo, stt, eob = st2
+                return (stt == OK) & (eob == 0)
+
+            def item_body(st2):
+                tt2, bb2, oo, stt, eob = st2
+                bb2 = ensure(tt2, bb2)
+                w = peek32(tt2, bb2)
+                e = ll_tab[w & ((1 << LTB) - 1)]
+                kind = _shr(e, 12) & 3
+                e = jnp.where(
+                    kind == K_SUB,
+                    ll_tab[_shr(e, 16)
+                           + (_shr(w, LTB) & (_shl(1, _shr(e, 8) & 0xF) - 1))],
+                    e)
+                kind = _shr(e, 12) & 3
+                consume = e & 0xFF
+                cl = _shr(e, 8) & 0xF
+                payload = _shr(e, 16)
+                tt2 = tt2 + consume
+                # decode-past-end guard (bounded overread: stop once the
+                # cursor passes the padded stage; padding is zeros)
+                stt = jnp.where(
+                    _shr(tt2, 5) > in_words + STAGE_W, BAD_DATA, stt)
+
+                def lit_case(tt3, bb3, oo3, stt3):
+                    ring_write(oo3, payload)
+                    oo4 = oo3 + 1
+
+                    @pl.when((oo4 & (RING_W * 4 - 1)) == 0)
+                    def _():
+                        flush(oo4)
+                    return tt3, bb3, oo4, stt3, jnp.int32(0)
+
+                def eob_case(tt3, bb3, oo3, stt3):
+                    stt4 = jnp.where(payload != 0, BAD_DATA, stt3)
+                    return tt3, bb3, oo3, stt4, jnp.int32(1)
+
+                def match_case(tt3, bb3, oo3, stt3):
+                    length = payload + (_shr(w, cl)
+                                        & (_shl(1, consume - cl) - 1))
+                    bb4 = ensure(tt3, bb3)
+                    w2 = peek32(tt3, bb4)
+                    oe = of_tab[w2 & ((1 << OTB) - 1)]
+                    okind = _shr(oe, 12) & 3
+                    oe = jnp.where(
+                        okind == K_SUB,
+                        of_tab[_shr(oe, 16)
+                               + (_shr(w2, OTB)
+                                  & (_shl(1, _shr(oe, 8) & 0xF) - 1))],
+                        oe)
+                    okind = _shr(oe, 12) & 3
+                    ocons = oe & 0xFF
+                    ocl = _shr(oe, 8) & 0xF
+                    dist = _shr(oe, 16) + (_shr(w2, ocl)
+                                           & (_shl(1, ocons - ocl) - 1))
+                    tt4 = tt3 + ocons
+                    bad = (okind == K_EOB) | (dist > oo3) | (oo3 + length > olen)
+                    stt4 = jnp.where(bad, BAD_DATA, stt3)
+
+                    def copy(k, st3):
+                        oo4, _ = st3
+                        byte = ring_read(oo4 - dist)
+                        ring_write(oo4, byte)
+                        oo5 = oo4 + 1
+
+                        @pl.when((oo5 & (RING_W * 4 - 1)) == 0)
+                        def _():
+                            flush(oo5)
+                        return (oo5, 0)
+
+                    oo6, _ = jax.lax.fori_loop(
+                        0, jnp.where(bad, 0, length), copy, (oo3, 0))
+                    return tt4, bb4, oo6, stt4, jnp.int32(0)
+
+                # literal overrun guard (known-size mode)
+                over_lit = (kind == K_LIT) & (oo + 1 > olen)
+                stt = jnp.where(over_lit, BAD_DATA, stt)
+                tt2b, bb2b, oo2, stt2, eob2 = jax.lax.switch(
+                    kind, [lit_case, match_case, eob_case, eob_case],
+                    tt2, bb2, oo, stt)
+                return (tt2b, bb2b, oo2, stt2, eob2)
+
+            tt, bb, oo, stt, _ = jax.lax.while_loop(
+                item_cond, item_body,
+                (tt, bb, op, stat, jnp.int32(0)))
+            return tt, bb, oo, stt
+
+        def huff_branch():
+            return do_huffman(t, base, op, btype)
+
+        def stored_branch():
+            return do_stored(t, base, op)
+
+        def bad_branch():
+            return t, base, op, jnp.int32(BAD_DATA)
+
+        t2, base2, op2, stat = jax.lax.cond(
+            btype == 0, stored_branch,
+            lambda: jax.lax.cond(btype == 3, bad_branch, huff_branch))
+
+        status = jnp.where(status == OK, stat, status)
+        done = jnp.where((final == 1) | (status != OK), 1, 0)
+        return (t2, base2, op2, status, final, done)
+
+    t, base, op, status, final, done = jax.lax.while_loop(
+        blk_cond, blk_body,
+        (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(OK),
+         jnp.int32(0), jnp.int32(0)))
+
+    # known-size contract: short output is an error
+    status = jnp.where((status == OK) & (op != olen), BAD_DATA, status)
+
+    # final partial flush
+    @pl.when((status == OK) & ((op & (RING_W * 4 - 1)) != 0))
+    def _():
+        flush(op)
+
+    status_ref[b] = status
+
+
+@functools.partial(jax.jit, static_argnames=("out_bytes", "interpret"))
+def decompress_chunks_pallas(comp_words, comp_len, out_len,
+                             out_bytes: int, interpret: bool = False):
+    """Decode B raw-DEFLATE chunks on the scalar core.
+
+    comp_words: u32/i32[B, W] little-endian words of each compressed
+      stream, zero-padded by at least STAGE_W words beyond the data.
+    comp_len: i32[B] compressed byte counts.
+    out_len: i32[B] expected output byte counts (known-size mode).
+    out_bytes: static per-chunk output capacity (multiple of 4).
+
+    Returns (out u8[B, out_bytes], status i32[B]).
+    """
+    B, W = comp_words.shape
+    assert out_bytes % 4 == 0
+    out_w = out_bytes // 4 + RING_W   # flush slack (full-ring DMAs)
+    cw = comp_words.astype(jnp.int32)
+
+    out, status = pl.pallas_call(
+        _decode_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # comp_len
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # out_len
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # constant tables
+            pl.BlockSpec(memory_space=pltpu.ANY),    # comp words (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # out words (HBM)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # status
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, out_w), jnp.int32),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((STAGE_W,), jnp.int32),       # input staging
+            pltpu.SMEM((RING_W,), jnp.int32),        # LZ window ring
+            pltpu.SMEM((LL_SIZE,), jnp.int32),       # litlen table
+            pltpu.SMEM((OF_SIZE,), jnp.int32),       # offset table
+            pltpu.SMEM((128,), jnp.int32),           # precode table
+            pltpu.SMEM((1184 + 19,), jnp.int32),     # lens (+precode lens)
+            pltpu.SMEM((1184,), jnp.int32),          # builder scratch
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(comp_len.astype(jnp.int32), out_len.astype(jnp.int32),
+      jnp.asarray(_CONSTS), cw)
+
+    out_bytes_arr = jax.lax.bitcast_convert_type(
+        out[:, : out_bytes // 4], jnp.uint8).reshape(B, out_bytes)
+    return out_bytes_arr, status
+
+
+def decompress_chunks_pallas_host(streams, out_lens, interpret=False):
+    """Host-convenience wrapper: list[bytes] -> (list[bytes], list[int])."""
+    B = len(streams)
+    out_cap = max(max(out_lens), 4)
+    out_cap = -(-out_cap // 4) * 4
+    wmax = max(-(-len(s) // 4) for s in streams) + 2 * STAGE_W
+    comp = np.zeros((B, wmax), np.uint32)
+    clen = np.zeros(B, np.int32)
+    for k, s in enumerate(streams):
+        pad = (-len(s)) % 4
+        comp[k, : (len(s) + pad) // 4] = np.frombuffer(
+            s + b"\0" * pad, np.uint32)
+        clen[k] = len(s)
+    out, status = decompress_chunks_pallas(
+        jnp.asarray(comp), jnp.asarray(clen),
+        jnp.asarray(np.asarray(out_lens, np.int32)), out_cap,
+        interpret=interpret)
+    out = np.asarray(out)
+    status = np.asarray(status)
+    return ([bytes(out[k, : out_lens[k]]) for k in range(B)],
+            [int(s) for s in status])
