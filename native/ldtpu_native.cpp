@@ -1079,7 +1079,14 @@ static size_t compress_fastest(const u8* in, size_t n, u8* out,
     std::vector<s16> tab(2u << ORDER, -32768);
     size_t mf_base = 0;
     auto slide = [&]() {
-        for (auto& v : tab) v = (s16)std::max(-32768, (int)v - 32768);
+        // saturating rebase in a form gcc autovectorizes (the int-widened
+        // std::max form compiles to a scalar loop: 64K entries per slide,
+        // 32 slides/MiB — measured ~2-18% of L1 time)
+        s16* p = tab.data();
+        for (size_t k = 0; k < tab.size(); k++) {
+            int t = (int)p[k] - 32768;
+            p[k] = (s16)(t < -32768 ? -32768 : t);
+        }
         mf_base += 32768;
     };
     const size_t SOFT = 65535, SEQ_SOFT = 8192;
