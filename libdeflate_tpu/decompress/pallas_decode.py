@@ -311,9 +311,9 @@ def _build_table_scalar(lens_ref, lens_off, nsyms, table_bits, table_ref,
     return jnp.where(over, jnp.int32(0), ok)
 
 
-def _decode_kernel(clen_ref, olen_ref, consts_ref, comp_ref, out_ref,
-                   status_ref, stage, ring, ll_tab, of_tab, pre_tab, lens,
-                   aux, sem_in, sem_out):
+def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
+                   out_ref, status_ref, oplen_ref, cons_ref, stage, ring,
+                   ll_tab, of_tab, pre_tab, lens, aux, sem_in, sem_out):
     b = pl.program_id(0)
     in_words = _shr(clen_ref[b] + 3, 2)
     olen = olen_ref[b]
@@ -638,8 +638,11 @@ def _decode_kernel(clen_ref, olen_ref, consts_ref, comp_ref, out_ref,
         (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(OK),
          jnp.int32(0), jnp.int32(0)))
 
-    # known-size contract: short output is an error
-    status = jnp.where((status == OK) & (op != olen), BAD_DATA, status)
+    # known-size contract: short output is an error (strict mode only —
+    # unknown-size callers read oplen instead)
+    status = jnp.where(
+        (status == OK) & (strict_ref[b] == 1) & (op != olen),
+        BAD_DATA, status)
 
     # final partial flush
     @pl.when((status == OK) & ((op & (RING_W * 4 - 1)) != 0))
@@ -647,41 +650,56 @@ def _decode_kernel(clen_ref, olen_ref, consts_ref, comp_ref, out_ref,
         flush(op)
 
     status_ref[b] = status
+    oplen_ref[b] = op
+    cons_ref[b] = jnp.minimum(_shr(t + 7, 3), clen_ref[b])
 
 
-@functools.partial(jax.jit, static_argnames=("out_bytes", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("out_bytes", "known_size", "interpret"))
 def decompress_chunks_pallas(comp_words, comp_len, out_len,
-                             out_bytes: int, interpret: bool = False):
+                             out_bytes: int, known_size: bool = True,
+                             interpret: bool = False):
     """Decode B raw-DEFLATE chunks on the scalar core.
 
     comp_words: u32/i32[B, W] little-endian words of each compressed
       stream, zero-padded by at least STAGE_W words beyond the data.
     comp_len: i32[B] compressed byte counts.
-    out_len: i32[B] expected output byte counts (known-size mode).
+    out_len: i32[B] expected output byte counts (known-size mode) or the
+      per-chunk capacity (unknown-size mode).
     out_bytes: static per-chunk output capacity (multiple of 4).
+    known_size: if True, op != out_len is BAD_DATA (the reference's
+      NULL-actual_out contract); if False, decode stops at BFINAL and the
+      produced length is reported.
 
-    Returns (out u8[B, out_bytes], status i32[B]).
+    Returns (out u8[B, out_bytes], status i32[B], out_lens i32[B],
+    consumed i32[B]).
     """
     B, W = comp_words.shape
     assert out_bytes % 4 == 0
     out_w = out_bytes // 4 + RING_W   # flush slack (full-ring DMAs)
     cw = comp_words.astype(jnp.int32)
+    strict = jnp.full((B,), 1 if known_size else 0, jnp.int32)
 
-    out, status = pl.pallas_call(
+    out, status, oplens, consumed = pl.pallas_call(
         _decode_kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # comp_len
             pl.BlockSpec(memory_space=pltpu.SMEM),   # out_len
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # strict flags
             pl.BlockSpec(memory_space=pltpu.SMEM),   # constant tables
             pl.BlockSpec(memory_space=pltpu.ANY),    # comp words (HBM)
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),    # out words (HBM)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # status
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # out lens
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # consumed bytes
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, out_w), jnp.int32),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
             jax.ShapeDtypeStruct((B,), jnp.int32),
         ],
         scratch_shapes=[
@@ -696,12 +714,12 @@ def decompress_chunks_pallas(comp_words, comp_len, out_len,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(comp_len.astype(jnp.int32), out_len.astype(jnp.int32),
+    )(comp_len.astype(jnp.int32), out_len.astype(jnp.int32), strict,
       jnp.asarray(_CONSTS), cw)
 
     out_bytes_arr = jax.lax.bitcast_convert_type(
         out[:, : out_bytes // 4], jnp.uint8).reshape(B, out_bytes)
-    return out_bytes_arr, status
+    return out_bytes_arr, status, oplens, consumed
 
 
 def decompress_chunks_pallas_host(streams, out_lens, interpret=False):
@@ -717,7 +735,7 @@ def decompress_chunks_pallas_host(streams, out_lens, interpret=False):
         comp[k, : (len(s) + pad) // 4] = np.frombuffer(
             s + b"\0" * pad, np.uint32)
         clen[k] = len(s)
-    out, status = decompress_chunks_pallas(
+    out, status, _, _ = decompress_chunks_pallas(
         jnp.asarray(comp), jnp.asarray(clen),
         jnp.asarray(np.asarray(out_lens, np.int32)), out_cap,
         interpret=interpret)
@@ -725,3 +743,19 @@ def decompress_chunks_pallas_host(streams, out_lens, interpret=False):
     status = np.asarray(status)
     return ([bytes(out[k, : out_lens[k]]) for k in range(B)],
             [int(s) for s in status])
+
+
+def decompress_chunks(bufs, in_lens, out_cap: int, interpret: bool = False):
+    """decompress/tpu.py-compatible unknown-size entry point on the Pallas
+    decoder: uint8[B, N], int32[B] -> (uint8[B, out_cap], out_lens,
+    consumed, results).  Conversion to padded words happens on device."""
+    B, N = bufs.shape
+    padded = -(-N // 4) * 4 + 8 * STAGE_W
+    b8 = jnp.zeros((B, padded), jnp.uint8).at[:, :N].set(bufs)
+    words = jax.lax.bitcast_convert_type(
+        b8.reshape(B, padded // 4, 4), jnp.uint32)
+    cap4 = -(-out_cap // 4) * 4
+    out, status, oplens, consumed = decompress_chunks_pallas(
+        words, in_lens, jnp.full((B,), cap4, jnp.int32), cap4,
+        known_size=False, interpret=interpret)
+    return out[:, :out_cap], oplens, consumed, status
