@@ -91,13 +91,18 @@ def _len_extra_scalar(f):
     return jnp.where((slot < 8) | (slot >= 28), 0, (slot >> 2) - 1)
 
 
-def _dp_kernel(wl_ref, wa_ref, wb_ref, out_ref, D_ref, *, S: int, TS: int):
+def _dp_kernel(lc_ref, wl_ref, wa_ref, wb_ref, wc_ref, out_ref, D_ref, *,
+               S: int, TS: int, lanes_per_chunk: int):
     """One reverse t-block of the backwards DP for one lane block.
 
-    Refs: wl/wa/wb [TS, 8, 128] packed candidates, out [TS, 8, 128]
-    choices, D [S, 8, 128] circular cost window (persistent scratch).
-    Grid = (lane_blocks, S // TS); t blocks stream high-to-low.
+    Refs: lc [B, 259] (SMEM) per-chunk per-length match costs; wl/wa/wb/wc
+    [TS, 8, 128] packed candidates+costs, out [TS, 8, 128] choices,
+    D [S, 8, 128] circular cost window (persistent scratch).
+    Grid = (lane_blocks, S // TS); t blocks stream high-to-low.  Lanes are
+    chunk-major, so lane block lb maps to chunk (lb*1024)//lanes_per_chunk
+    (exact when 1024 | lanes_per_chunk; first-covered chunk otherwise).
     """
+    lb = pl.program_id(0)
     tb = pl.program_id(1)
     n_tb = pl.num_programs(1)
 
@@ -106,6 +111,9 @@ def _dp_kernel(wl_ref, wa_ref, wb_ref, out_ref, D_ref, *, S: int, TS: int):
         D_ref[...] = jnp.zeros_like(D_ref)
 
     t_base = (n_tb - 1 - tb) * TS
+    ci = jnp.minimum((lb * 1024) // lanes_per_chunk, lc_ref.shape[0] - 1)
+    # rung costs: 28 scalars, read once per grid step
+    rung_cost = [lc_ref[ci, f] for f in LEN_LADDER]
 
     def body(k, _):
         tl = TS - 1 - k
@@ -114,15 +122,16 @@ def _dp_kernel(wl_ref, wa_ref, wb_ref, out_ref, D_ref, *, S: int, TS: int):
         wl = wl_ref[0, tl]                   # [8, 128]
         wa = wa_ref[0, tl]
         wb = wb_ref[0, tl]
+        wc = wc_ref[0, tl]
         clit = wl >> 14
         d3 = wl & jnp.int32(0x3FFF)
         lA = wa >> 18
         dA = wa & jnp.int32(0x3FFFF)
         lB = wb >> 18
         dB = wb & jnp.int32(0x3FFFF)
-        cA = _dist_cost_vec(dA)
-        cB = _dist_cost_vec(dB)
-        c3 = _dist_cost_vec(d3)
+        cA = (wc >> 20) & jnp.int32(0x3FF)
+        cB = (wc >> 10) & jnp.int32(0x3FF)
+        c3 = wc & jnp.int32(0x3FF)
 
         best = clit + D_ref[(t + 1) % S]
         bspan = jnp.ones_like(best)
@@ -142,7 +151,7 @@ def _dp_kernel(wl_ref, wa_ref, wb_ref, out_ref, D_ref, *, S: int, TS: int):
                 cd = jnp.where(use3, c3, cd)
                 dsel = jnp.where(use3, d3, dsel)
             feas = t + f <= S
-            cand = jnp.where(feas, cd + int(_LADDER_COSTS[fi]) + Df, _BIG2)
+            cand = jnp.where(feas, cd + rung_cost[fi] + Df, _BIG2)
             better = cand < best
             best = jnp.where(better, cand, best)
             bspan = jnp.where(better, f, bspan)
@@ -160,7 +169,7 @@ def _dp_kernel(wl_ref, wa_ref, wb_ref, out_ref, D_ref, *, S: int, TS: int):
         dsel_t = jnp.where(useB_t, dB, dsel_t)
         c_tail = jnp.where(
             tail_sane,
-            cd_t + LEN_SYM_COST + BIT * _len_extra_scalar(f_tail),
+            cd_t + lc_ref[ci, jnp.clip(f_tail, 0, 258)],
             _BIG2,
         )
         better_t = c_tail < best
@@ -176,13 +185,14 @@ def _dp_kernel(wl_ref, wa_ref, wb_ref, out_ref, D_ref, *, S: int, TS: int):
 
 
 @functools.partial(jax.jit, static_argnames=("S", "interpret"))
-def dp_parse_pallas(cost_lit, lenA, dA, lenB, dB, d3, S: int = 1024,
-                    interpret: bool = False):
+def dp_parse_pallas(cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3,
+                    lc_len, S: int = 1024, interpret: bool = False):
     """Backwards min-cost DP over independent S-position segments.
 
-    Inputs are [B, n_pad] int32 arrays; returns (span, dist) [B, n_pad],
-    identical to tpu_optimal._dp_parse with seeded costs.  Lane layout:
-    all B * (n_pad/S) segments ride the 8x128 vector tiles; the t axis
+    Signature-parallel to tpu_optimal._dp_parse (batched): [B, n_pad]
+    i32 candidate/cost arrays plus the [259] per-length match cost
+    table; returns (span, dist) [B, n_pad].  Lane layout: all
+    B * (n_pad/S) segments ride the 8x128 vector tiles; the t axis
     streams through the grid in reverse 256-row blocks.
     """
     Bc, n_pad = cost_lit.shape
@@ -203,17 +213,29 @@ def dp_parse_pallas(cost_lit, lenA, dA, lenB, dB, d3, S: int = 1024,
     wl = to_rows((cost_lit.astype(jnp.int32) << 14) | d3.astype(jnp.int32))
     wa = to_rows((lenA.astype(jnp.int32) << 18) | dA.astype(jnp.int32))
     wb = to_rows((lenB.astype(jnp.int32) << 18) | dB.astype(jnp.int32))
+    cap = jnp.int32(0x3FF)
+    wc = to_rows(
+        (jnp.minimum(cdA.astype(jnp.int32), cap) << 20)
+        | (jnp.minimum(cdB.astype(jnp.int32), cap) << 10)
+        | jnp.minimum(cd3.astype(jnp.int32), cap)
+    )
+    lc = jnp.minimum(lc_len.astype(jnp.int32), jnp.int32(1 << 20))
+    if lc.ndim == 1:
+        lc = jnp.broadcast_to(lc, (Bc, 259))
     LB = lanes_pad // LANE
     n_tb = S // TS
 
     out = pl.pallas_call(
-        functools.partial(_dp_kernel, S=S, TS=TS),
+        functools.partial(_dp_kernel, S=S, TS=TS,
+                          lanes_per_chunk=n_pad // S),
         grid=(LB, n_tb),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ] + [
             pl.BlockSpec((1, TS, 8, 128),
                          lambda lb, tb: (lb, n_tb - 1 - tb, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] * 3,
+        ] * 4,
         out_specs=pl.BlockSpec(
             (1, TS, 8, 128),
             lambda lb, tb: (lb, n_tb - 1 - tb, 0, 0),
@@ -222,7 +244,7 @@ def dp_parse_pallas(cost_lit, lenA, dA, lenB, dB, d3, S: int = 1024,
         out_shape=jax.ShapeDtypeStruct((LB, S, 8, 128), jnp.int32),
         scratch_shapes=[pltpu.VMEM((S, 8, 128), jnp.int32)],
         interpret=interpret,
-    )(wl, wa, wb)
+    )(lc, wl, wa, wb, wc)
 
     choices = out.transpose(1, 0, 2, 3).reshape(S, lanes_pad)[:, :lanes]
     choices = choices.T.reshape(Bc, n_pad)

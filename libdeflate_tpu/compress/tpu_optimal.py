@@ -59,7 +59,16 @@ from .tpu_pipeline import (
     _parse_candidates,
     _segment_sizes,
 )
-from .tpu_dynamic import _sort_syms, _translate, _sym_seg, emit_dynamic_block
+from .tpu_dynamic import (
+    DONT_CARE,
+    NDIST,
+    NSYM,
+    _build_code_lens,
+    _sort_syms,
+    _sym_seg,
+    _translate,
+    emit_dynamic_block,
+)
 
 # Slot-top candidate lengths: singles 3..10 (slots 0-7), then the top of
 # each extra-bit band (base + 2^eb - 1) so no extra-bit range is wasted,
@@ -92,23 +101,31 @@ def _ladder_costs():
 _LADDER_COSTS = _ladder_costs()
 
 
-def _literal_costs(bp: jax.Array, length: jax.Array, n_pad: int):
+def _literal_costs(bp: jax.Array, length: jax.Array, n_pad: int,
+                   table: jax.Array | None = None):
     """Per-position literal cost (1/16-bit units) from the chunk's byte
     histogram, via one byte-alphabet segment sort: the sort yields the
     histogram (searchsorted boundaries) AND the per-position cost
-    translation (boundary-delta + prefix sum) — zero gathers."""
+    translation (boundary-delta + prefix sum) — zero gathers.
+
+    With ``table`` (a [256] i32 cost table, e.g. real code lengths * 16),
+    the histogram entropy seeding is skipped and bytes translate through
+    the given costs instead."""
     seg = _sym_seg(n_pad)
     pos = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0]
     sym = jnp.where(pos < length, bp.astype(jnp.int32), 256)
     sk, starts, hist = _sort_syms(sym, seg, nsym=257)
-    h = hist[:256]
-    total = jnp.maximum(jnp.sum(h), 1).astype(jnp.float32)
-    # cost = -16*log2(p), clamped to [1, 11] bits (the dynamic-code cap)
-    bits = jnp.log2(total) - jnp.log2(jnp.maximum(h, 1).astype(jnp.float32))
-    cost = jnp.clip(jnp.round(BIT * bits).astype(jnp.int32), BIT, 11 * BIT)
-    cost = jnp.where(h > 0, cost, 11 * BIT)
-    table = jnp.concatenate([cost, jnp.zeros(1, jnp.int32)])
-    return _translate(sk, starts, table, seg, nsym=257)
+    if table is None:
+        h = hist[:256]
+        total = jnp.maximum(jnp.sum(h), 1).astype(jnp.float32)
+        # cost = -16*log2(p), clamped to [1, 11] bits (the dynamic-code cap)
+        bits = jnp.log2(total) - jnp.log2(jnp.maximum(h, 1).astype(jnp.float32))
+        cost = jnp.clip(jnp.round(BIT * bits).astype(jnp.int32), BIT, 11 * BIT)
+        cost = jnp.where(h > 0, cost, 11 * BIT)
+    else:
+        cost = jnp.where(table > 0, table, 14 * BIT).astype(jnp.int32)
+    table_full = jnp.concatenate([cost, jnp.zeros(1, jnp.int32)])
+    return _translate(sk, starts, table_full, seg, nsym=257)
 
 
 def _dist_cost(dist: jax.Array) -> jax.Array:
@@ -117,7 +134,51 @@ def _dist_cost(dist: jax.Array) -> jax.Array:
     return DIST_SYM_COST + BIT * oextra
 
 
-def _dp_parse(cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3, S: int):
+def _seed_lc_len() -> np.ndarray:
+    """Seeded per-length match cost table [259]: LEN_SYM_COST + 16*extra.
+    Evaluates to the same values the rung/tail formulas used, so pass 1
+    is bit-identical to the pre-table formulation."""
+    f = np.arange(259)
+    l1 = np.maximum(f - 3, 1)
+    k = np.maximum(np.int64(np.floor(np.log2(l1))), 0)
+    band_slot = 4 * k - 4 + ((l1 >> np.maximum(k - 2, 0)) & 3)
+    slot = np.where(f <= 10, np.maximum(f - 3, 0),
+                    np.where(f >= 258, 28, band_slot))
+    extra = np.where((slot < 8) | (slot >= 28), 0, (slot >> 2) - 1)
+    out = (LEN_SYM_COST + BIT * extra).astype(np.int32)
+    out[:3] = 1 << 28      # lengths < 3 are not matches
+    return out
+
+
+_SEED_LC_LEN = _seed_lc_len()
+
+
+def _lc_len_from_lens(lit_lens: jax.Array) -> jax.Array:
+    """Per-length match cost table [259] from real litlen code lengths
+    (the pass-2 refinement costs, role of deflate_set_costs_from_codes,
+    lib/deflate_compress.c:2924-2957)."""
+    f = jnp.arange(259, dtype=jnp.int32)
+    lslot, _, lextra = _length_slot(jnp.maximum(f, 3))
+    sym_len = jnp.take(lit_lens, 257 + lslot, mode="clip")
+    sym_len = jnp.where(sym_len > 0, sym_len, 14)     # unused sym: cap cost
+    out = sym_len * BIT + BIT * lextra
+    return jnp.where(f < 3, jnp.int32(1 << 28), out)
+
+
+def _take30(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather-free 30-entry table lookup: binary select tree on the slot
+    bits (31 VPU selects; a [n]-sized gather costs ~7.5 ns/elem on the
+    chip, PERF_NOTES.md)."""
+    vals = [table[k] for k in range(30)] + [table[29], table[29]]
+    for bit in (1, 2, 4, 8, 16):
+        hi = (idx & bit) > 0
+        vals = [jnp.where(hi, vals[k + 1], vals[k])
+                for k in range(0, len(vals), 2)]
+    return vals[0]
+
+
+def _dp_parse(cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3, lc_len,
+              S: int):
     """Backwards min-cost DP over independent S-position segments.
 
     All inputs are [n_pad] arrays; returns (span, dist) per position —
@@ -140,7 +201,6 @@ def _dp_parse(cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3, S: int):
     )
 
     ladder = np.asarray(LEN_LADDER, np.int32)
-    lcosts = _LADDER_COSTS
 
     def step(W, x):
         t, clit, pA, cA, pB, cB, dd3, c3 = x
@@ -170,7 +230,7 @@ def _dp_parse(cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3, S: int):
                 cd = jnp.where(use3, c3, cd)
                 dsel = jnp.where(use3, dd3, dsel)
             feas_t = t + f <= S           # scalar (segment-end truncation)
-            cand = jnp.where(feas_t, cd + int(lcosts[fi]) + Df, jnp.int32(1 << 29))
+            cand = jnp.where(feas_t, cd + lc_len[f] + Df, jnp.int32(1 << 29))
             better = cand < best
             best = jnp.where(better, cand, best)
             bspan = jnp.where(better, f, bspan)
@@ -188,9 +248,11 @@ def _dp_parse(cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3, S: int):
         useB_t = okB_t & (cB < cd_t)
         cd_t = jnp.where(useB_t, cB, cd_t)
         dsel_t = jnp.where(useB_t, dBr, dsel_t)
-        lslot_t, _, lextra_t = _length_slot(jnp.maximum(f_tail, 3))
         c_tail = jnp.where(
-            tail_sane, cd_t + LEN_SYM_COST + BIT * lextra_t, jnp.int32(1 << 29)
+            tail_sane,
+            cd_t + jax.lax.dynamic_index_in_dim(
+                lc_len, jnp.clip(f_tail, 0, 258), keepdims=False),
+            jnp.int32(1 << 29),
         )
         better_t = c_tail < best
         best = jnp.where(better_t, c_tail, best)
@@ -210,11 +272,49 @@ def _dp_parse(cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3, S: int):
     return span, dist
 
 
+def _commit(span, dist, pos, length, S_eff):
+    is_match = (span >= 3) & (dist > 0)
+    committed, eff = _greedy_commit(span, is_match, S_eff)
+    live = pos < length
+    commit_match = committed & (eff >= 3) & live
+    commit_lit = committed & (eff < 3) & live
+    return commit_match, commit_lit, eff
+
+
+def _code_lens_from_items(bp, commit_match, commit_lit, eff, dist,
+                          n_pad: int):
+    """Real litlen/offset code lengths for the items of a parse pass
+    (the refinement step of deflate_near_optimal's iterated costs,
+    lib/deflate_compress.c:3416-3530)."""
+    sym_seg = _sym_seg(n_pad)
+    lslot, _, _ = _length_slot(jnp.maximum(eff, 3))
+    oslot, _, _ = _offset_slot(jnp.maximum(dist, 1))
+    prev_match = jnp.concatenate([jnp.zeros(1, bool), commit_match[:-1]])
+    oslot_b = jnp.concatenate([jnp.zeros(1, jnp.int32), oslot[:-1]])
+    sym = jnp.where(
+        commit_match, 257 + lslot,
+        jnp.where(prev_match, NSYM + oslot_b,
+                  jnp.where(commit_lit, bp.astype(jnp.int32), DONT_CARE)))
+    _, _, hist = _sort_syms(sym, sym_seg)
+    hist_lit = hist[:NSYM].at[256].add(1)
+    hist_lit = hist_lit.at[0].add(jnp.where(hist_lit[0] == 0, 1, 0))
+    hist_dist = hist[NSYM:]
+    hist_dist = hist_dist.at[0].add(jnp.where(hist_dist[0] == 0, 1, 0))
+    hist_dist = hist_dist.at[1].add(jnp.where(hist_dist[1] == 0, 1, 0))
+    lit_lens, _ = _build_code_lens(hist_lit, NSYM, 16)
+    dist_lens, _ = _build_code_lens(hist_dist, NDIST, 16)
+    return lit_lens, dist_lens
+
+
 def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
                         two_pass: bool = False, hash3: bool = False,
-                        wide_window: bool = True, S: int = DP_SEG):
-    """Candidate generation + cost seeding + DP + commit.  Returns the
-    same tuple contract as tpu_pipeline._parse_chunk."""
+                        wide_window: bool = True, S: int = DP_SEG,
+                        passes: int = 1):
+    """Candidate generation + cost seeding + DP + commit, optionally
+    iterated: pass k >= 2 re-derives symbol costs from pass k-1's real
+    code lengths and re-runs the DP (the reference's iterated cost
+    refinement, lib/deflate_compress.c:3416-3530).  Returns the same
+    tuple contract as tpu_pipeline._parse_chunk."""
     bp, pos, lenA, dA, lenB, dB, d3 = _parse_candidates(
         b, length, depth=depth, two_pass=two_pass, hash3=hash3,
         wide_window=wide_window,
@@ -226,27 +326,44 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
     cdA = _dist_cost(dA)
     cdB = _dist_cost(dB)
     cd3 = _dist_cost(d3)
+    lc_len = jnp.asarray(_SEED_LC_LEN)
 
     span, dist = _dp_parse(
-        cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3, S_eff
+        cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3, lc_len, S_eff
     )
-    is_match = (span >= 3) & (dist > 0)
-    committed, eff = _greedy_commit(span, is_match, S_eff)
-    live = pos < length
-    commit_match = committed & (eff >= 3) & live
-    commit_lit = committed & (eff < 3) & live
+    commit_match, commit_lit, eff = _commit(span, dist, pos, length, S_eff)
+
+    for _ in range(passes - 1):
+        lit_lens, dist_lens = _code_lens_from_items(
+            bp, commit_match, commit_lit, eff, dist, n_pad)
+        # literal costs: translate each byte through the real lens
+        cost_lit = _literal_costs(
+            bp, length, n_pad, table=lit_lens[:256] * BIT)
+        lc_len = _lc_len_from_lens(lit_lens)
+        dcost_tab = jnp.where(dist_lens > 0, dist_lens, 14) * BIT
+
+        def dc(d):
+            oslot, _, oextra = _offset_slot(jnp.maximum(d, 1))
+            return _take30(dcost_tab, oslot) + BIT * oextra
+
+        span, dist = _dp_parse(
+            cost_lit, lenA, dA, dc(dA), lenB, dB, dc(dB), d3, dc(d3),
+            lc_len, S_eff
+        )
+        commit_match, commit_lit, eff = _commit(span, dist, pos, length,
+                                                S_eff)
     return bp, pos, commit_match, commit_lit, eff, dist
 
 
 def compress_chunk_optimal(b: jax.Array, length: jax.Array, bfinal: jax.Array,
                            depth: int = 6, two_pass: bool = False,
-                           hash3: bool = False):
+                           hash3: bool = False, passes: int = 1):
     """Min-cost-DP dynamic-block chunk compressor; same output contract as
     compress_chunk_dynamic (byte-aligned fragment, sync flush)."""
     n = b.shape[0]
     bp, pos, commit_match, commit_lit, eff, dist = parse_chunk_optimal(
         b, length, depth=depth, two_pass=two_pass, hash3=hash3,
-        wide_window=not (two_pass or hash3),
+        wide_window=not (two_pass or hash3), passes=passes,
     )
     return emit_dynamic_block(
         bp, bfinal, commit_match, commit_lit, eff, dist, n, bp.shape[0],
@@ -262,13 +379,23 @@ def compress_chunks_optimal(bufs: jax.Array, lengths: jax.Array, bfinal: jax.Arr
 
 
 @jax.jit
+def compress_chunks_optimal2(bufs: jax.Array, lengths: jax.Array,
+                             bfinal: jax.Array):
+    """DP tier with one refined-cost pass (ratio -0.27pp on the CPU
+    sample for ~1.3x the parse cost)."""
+    return jax.vmap(
+        lambda b, l, f: compress_chunk_optimal(b, l, f, passes=2)
+    )(bufs, lengths, bfinal)
+
+
+@jax.jit
 def compress_chunks_optimal_deep(bufs: jax.Array, lengths: jax.Array,
                                  bfinal: jax.Array):
     """DP parse over rescue-pass + hash3 + 12-deep candidates (the device
     top-quality tier)."""
     return jax.vmap(
         lambda b, l, f: compress_chunk_optimal(
-            b, l, f, depth=12, two_pass=True, hash3=True
+            b, l, f, depth=12, two_pass=True, hash3=True, passes=2
         )
     )(bufs, lengths, bfinal)
 
@@ -281,6 +408,7 @@ def compress_chunks_optimal_deep(bufs: jax.Array, lengths: jax.Array,
 # ---------------------------------------------------------------------------
 def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
                                     two_pass: bool, hash3: bool,
+                                    passes: int = 1,
                                     interpret: bool = False):
     from .pallas_kernels import dp_parse_pallas, pack_groups_pallas
     from .tpu_dynamic import (
@@ -305,16 +433,45 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
     n_pad = bp.shape[1]
     S_eff = DP_SEG if (n_pad % DP_SEG == 0 and n_pad >= DP_SEG) else n_pad
 
-    span, dist = dp_parse_pallas(
-        cost_lit, lenA, dA, lenB, dB, d3, S=S_eff, interpret=interpret
-    )
+    cdA = _dist_cost(dA)
+    cdB = _dist_cost(dB)
+    cd3 = _dist_cost(d3)
+    lc_len = jnp.asarray(_SEED_LC_LEN)
 
-    def back(bp, pos, span, dist, length, fin):
-        is_match = (span >= 3) & (dist > 0)
-        committed, eff = _greedy_commit(span, is_match, S_eff)
-        live = pos < length
-        commit_match = committed & (eff >= 3) & live
-        commit_lit = committed & (eff < 3) & live
+    span, dist = dp_parse_pallas(
+        cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3, lc_len,
+        S=S_eff, interpret=interpret,
+    )
+    commit_match, commit_lit, eff = jax.vmap(
+        lambda s, d, p, l: _commit(s, d, p, l, S_eff)
+    )(span, dist, pos, lengths)
+
+    for _ in range(passes - 1):
+        lit_lens, dist_lens = jax.vmap(
+            lambda *a: _code_lens_from_items(*a, n_pad)
+        )(bp, commit_match, commit_lit, eff, dist)
+        cost_lit = jax.vmap(
+            lambda b, l, t: _literal_costs(b, l, n_pad, table=t)
+        )(bp, lengths, lit_lens[:, :256] * BIT)
+        lc_len = jax.vmap(_lc_len_from_lens)(lit_lens)   # [B, 259]
+        dcost_tab = jnp.where(dist_lens > 0, dist_lens, 14) * BIT
+
+        def dcv(dmat, tab):
+            def one(d, t):
+                oslot, _, oextra = _offset_slot(jnp.maximum(d, 1))
+                return _take30(t, oslot) + BIT * oextra
+            return jax.vmap(one)(dmat, tab)
+
+        span, dist = dp_parse_pallas(
+            cost_lit, lenA, dA, dcv(dA, dcost_tab), lenB, dB,
+            dcv(dB, dcost_tab), d3, dcv(d3, dcost_tab), lc_len,
+            S=S_eff, interpret=interpret,
+        )
+        commit_match, commit_lit, eff = jax.vmap(
+            lambda s, d, p, l: _commit(s, d, p, l, S_eff)
+        )(span, dist, pos, lengths)
+
+    def back(bp, commit_match, commit_lit, eff, dist, fin):
         (val, nb, offs), aux = _emit_dynamic_pre(
             bp, commit_match, commit_lit, eff, dist, bp.shape[0],
             refine_passes=16,
@@ -322,7 +479,8 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
         sbuf, gw = _group_premerge(val, nb, offs, capw=DYN_CAPW)
         return sbuf, gw, aux
 
-    sbuf, gw, aux = jax.vmap(back)(bp, pos, span, dist, lengths, bfinal)
+    sbuf, gw, aux = jax.vmap(back)(
+        bp, commit_match, commit_lit, eff, dist, bfinal)
     words = pack_groups_pallas(sbuf, gw, _dyn_nwords(n), interpret=interpret)
     return jax.vmap(_emit_dynamic_post)(words, aux, bfinal)
 
@@ -338,8 +496,9 @@ def compress_chunks_optimal_pallas(bufs, lengths, bfinal, interpret=False):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def compress_chunks_optimal_deep_pallas(bufs, lengths, bfinal, interpret=False):
-    """Deep DP tier (rescue pass + hash3 + 12-deep) with Pallas kernels."""
+    """Deep DP tier (rescue pass + hash3 + 12-deep, 2 cost passes) with
+    Pallas kernels."""
     return _compress_chunks_optimal_pallas(
         bufs, lengths, bfinal, depth=12, two_pass=True, hash3=True,
-        interpret=interpret,
+        passes=2, interpret=interpret,
     )

@@ -40,6 +40,7 @@ def test_dp_kernel_matches_xla():
         rng.random((B, n_pad)) < 0.5, rng.integers(1, 8193, (B, n_pad)), 0
     ).astype(np.int32)
 
+    lc = jnp.asarray(to._SEED_LC_LEN)
     spans_ref, dists_ref = [], []
     for b in range(B):
         cdA = to._dist_cost(jnp.asarray(dA[b]))
@@ -48,14 +49,16 @@ def test_dp_kernel_matches_xla():
         s, d = to._dp_parse(
             jnp.asarray(cost_lit[b]), jnp.asarray(lenA[b]), jnp.asarray(dA[b]),
             cdA, jnp.asarray(lenB[b]), jnp.asarray(dB[b]), cdB,
-            jnp.asarray(d3[b]), cd3, S,
+            jnp.asarray(d3[b]), cd3, lc, S,
         )
         spans_ref.append(np.asarray(s))
         dists_ref.append(np.asarray(d))
 
     sp, dp = dp_parse_pallas(
         jnp.asarray(cost_lit), jnp.asarray(lenA), jnp.asarray(dA),
-        jnp.asarray(lenB), jnp.asarray(dB), jnp.asarray(d3),
+        to._dist_cost(jnp.asarray(dA)),
+        jnp.asarray(lenB), jnp.asarray(dB), to._dist_cost(jnp.asarray(dB)),
+        jnp.asarray(d3), to._dist_cost(jnp.asarray(d3)), lc,
         S=S, interpret=True,
     )
     assert np.array_equal(np.asarray(sp), np.stack(spans_ref))
@@ -113,3 +116,29 @@ def test_pallas_compressor_bit_exact(ref_fn, pal_fn):
         b = device_stream_to_bytes(w_pal[k], t_pal[k])
         assert a == b
         assert zlib.decompressobj(-15).decompress(b) == bufs[k].tobytes()
+
+
+def test_pallas_deep_two_pass_bit_exact_single_chunk():
+    """The 2-cost-pass deep tier: Pallas vs XLA, B=1 (per-chunk lc tables
+    are exact when a chunk's DP lanes fill whole 1024-lane blocks; at
+    B=1 the single chunk owns the only block)."""
+    rng = np.random.default_rng(7)
+    N = 1 << 16
+    raw = (open("/root/reference/README.md", "rb").read() * 20)[:N]
+    bufs = np.frombuffer(raw, np.uint8)[None, :]
+    lengths = np.array([N], np.int32)
+    bfinal = np.array([True])
+
+    w_ref, t_ref = to.compress_chunks_optimal_deep(
+        jnp.asarray(bufs), jnp.asarray(lengths), jnp.asarray(bfinal)
+    )
+    w_pal, t_pal = to.compress_chunks_optimal_deep_pallas(
+        jnp.asarray(bufs), jnp.asarray(lengths), jnp.asarray(bfinal),
+        interpret=True,
+    )
+    w_ref, t_ref, w_pal, t_pal = map(np.asarray, (w_ref, t_ref, w_pal, t_pal))
+    assert np.array_equal(t_ref, t_pal)
+    a = device_stream_to_bytes(w_ref[0], t_ref[0])
+    b = device_stream_to_bytes(w_pal[0], t_pal[0])
+    assert a == b
+    assert zlib.decompressobj(-15).decompress(b) == raw
