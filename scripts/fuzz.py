@@ -28,6 +28,20 @@ import zlib
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
+# The env var alone is not enough under the axon terminal plugin, whose
+# sitecustomize forces jax_platforms programmatically at interpreter start
+# — with the relay down, any device touch then hangs forever.  Override it
+# back the way tests/conftest.py does.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+except Exception:  # pragma: no cover
+    pass
+
 import numpy as np
 
 import libdeflate_tpu as ld
