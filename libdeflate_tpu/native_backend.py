@@ -80,11 +80,15 @@ def get_lib():
         _tried = True
         if os.environ.get("LIBDEFLATE_TPU_NO_NATIVE"):
             return None
-        if not _cached_build_usable():
+        # explicit .so override: lets the test harness point every native
+        # call at an instrumented build (ASAN/UBSAN — the reference's
+        # sanitizer run_tests modes, scripts/run_tests.sh:262-307)
+        so_path = os.environ.get("LIBDEFLATE_TPU_NATIVE_SO", _SO)
+        if so_path == _SO and not _cached_build_usable():
             if not _build():
                 return None
         try:
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(so_path)
         except OSError:
             return None
         lib.ld_crc32.restype = ctypes.c_uint32

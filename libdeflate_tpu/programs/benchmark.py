@@ -102,7 +102,10 @@ def make_engines(level: int, fmt: str):
 
 
 def run(path: str, level: int, chunk_size: int, fmt: str,
-        comp_engine: str, decomp_engine: str, allow_expansion: bool) -> int:
+        comp_engine: str, decomp_engine: str, allow_expansion: bool,
+        profile: bool = False) -> int:
+    from ..utils.profiling import Phase, device_trace
+
     with open(path, "rb") as f:
         data = f.read()
     comp, decomp = make_engines(level, fmt)
@@ -115,24 +118,30 @@ def run(path: str, level: int, chunk_size: int, fmt: str,
         return 2
     cfn, dfn = comp[comp_engine], decomp[decomp_engine]
 
+    phases = Phase()
     total_in = total_out = 0
     t_comp = t_dec = 0.0
-    for off in range(0, len(data), chunk_size):
-        chunk = data[off : off + chunk_size]
-        t0 = time.perf_counter()
-        blob = cfn(chunk)
-        t_comp += time.perf_counter() - t0
-        if not allow_expansion and len(blob) >= len(chunk) + 64:
-            print(f"chunk at {off} expanded; use -e", file=sys.stderr)
-            return 1
-        t0 = time.perf_counter()
-        out = dfn(blob, len(chunk))
-        t_dec += time.perf_counter() - t0
-        if out != chunk:
-            print(f"ROUND-TRIP MISMATCH at offset {off}", file=sys.stderr)
-            return 1
-        total_in += len(chunk)
-        total_out += len(blob)
+    with device_trace():
+        for off in range(0, len(data), chunk_size):
+            chunk = data[off : off + chunk_size]
+            t0 = time.perf_counter()
+            with phases("compress"):
+                blob = cfn(chunk)
+            t_comp += time.perf_counter() - t0
+            if not allow_expansion and len(blob) >= len(chunk) + 64:
+                print(f"chunk at {off} expanded; use -e", file=sys.stderr)
+                return 1
+            t0 = time.perf_counter()
+            with phases("decompress"):
+                out = dfn(blob, len(chunk))
+            t_dec += time.perf_counter() - t0
+            with phases("verify"):
+                ok = out == chunk
+            if not ok:
+                print(f"ROUND-TRIP MISMATCH at offset {off}", file=sys.stderr)
+                return 1
+            total_in += len(chunk)
+            total_out += len(blob)
 
     print(f'Processing "{path}"...')
     print(f"\tCompressed {total_in} => {total_out} bytes "
@@ -143,6 +152,9 @@ def run(path: str, level: int, chunk_size: int, fmt: str,
     if t_dec:
         print(f"\tDecompression time: {t_dec*1e3:.0f} ms "
               f"({total_in/t_dec/1e6:.0f} MB/s)")
+    if profile:
+        print("\tPhases:")
+        phases.report(sys.stdout)
     return 0
 
 
@@ -151,6 +163,7 @@ def main(argv=None) -> int:
     level, chunk_size, fmt = 6, 1 << 20, "deflate"
     comp_engine = decomp_engine = "ours"
     allow_expansion = False
+    profile = False
     files = []
     i = 0
     while i < len(args):
@@ -172,6 +185,8 @@ def main(argv=None) -> int:
         elif a == "-D":
             i += 1
             decomp_engine = args[i]
+        elif a == "-p" or a == "--profile":
+            profile = True
         else:
             files.append(a)
         i += 1
@@ -183,7 +198,7 @@ def main(argv=None) -> int:
     rc = 0
     for f in files:
         rc |= run(f, level, chunk_size, fmt, comp_engine, decomp_engine,
-                  allow_expansion)
+                  allow_expansion, profile)
     return rc
 
 

@@ -10,9 +10,12 @@
 #                  exercises the pure-Python/NumPy paths
 #   fuzz           randomized round-trip + adversarial-stream harness
 #   cli_mix        gzip CLI vs system gzip in both directions
+#   sanitize       native codec rebuilt with ASAN+UBSAN, fuzz + native
+#                  tests run against it (role of the reference's asan/
+#                  ubsan modes, scripts/run_tests.sh:262-307)
 set -e
 cd "$(dirname "$0")/.."
-MODES="${*:-regular no_native fuzz cli_mix}"
+MODES="${*:-regular no_native fuzz cli_mix sanitize}"
 
 run() { echo "== $1 =="; shift; "$@"; }
 
@@ -27,6 +30,19 @@ for mode in $MODES; do
       ;;
     fuzz)
       run fuzz python scripts/fuzz.py --iters 150 --device-every 50
+      ;;
+    sanitize)
+      run sanitize sh -c '
+        set -e
+        g++ -O1 -g -std=c++17 -fsanitize=address,undefined \
+            -fno-sanitize-recover=all -shared -fPIC \
+            -o /tmp/ldtpu_sanitize.so native/ldtpu_native.cpp
+        asan_rt=$(gcc -print-file-name=libasan.so)
+        env LD_PRELOAD="$asan_rt" ASAN_OPTIONS=detect_leaks=0 \
+            LIBDEFLATE_TPU_NATIVE_SO=/tmp/ldtpu_sanitize.so \
+            python scripts/sanitize_drive.py 120
+        echo "sanitize OK"
+      '
       ;;
     cli_mix)
       run cli_mix sh -c '
