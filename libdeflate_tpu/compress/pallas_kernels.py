@@ -91,8 +91,8 @@ def _len_extra_scalar(f):
     return jnp.where((slot < 8) | (slot >= 28), 0, (slot >> 2) - 1)
 
 
-def _dp_kernel(lc_ref, wl_ref, wa_ref, wb_ref, wc_ref, out_ref, D_ref, *,
-               S: int, TS: int, lanes_per_chunk: int):
+def _dp_kernel(lc_ref, wl_ref, wa_ref, wb_ref, wc_ref, wd_ref, out_ref,
+               D_ref, *, S: int, TS: int, lanes_per_chunk: int):
     """One reverse t-block of the backwards DP for one lane block.
 
     Refs: lc [B, 259] (SMEM) per-chunk per-length match costs; wl/wa/wb/wc
@@ -123,12 +123,16 @@ def _dp_kernel(lc_ref, wl_ref, wa_ref, wb_ref, wc_ref, out_ref, D_ref, *,
         wa = wa_ref[0, tl]
         wb = wb_ref[0, tl]
         wc = wc_ref[0, tl]
-        clit = wl >> 14
+        wd = wd_ref[0, tl]
+        clit = (wl >> 14) & jnp.int32(0xFF)
         d3 = wl & jnp.int32(0x3FFF)
+        cC = jax.lax.shift_right_logical(wl, 22) & jnp.int32(0x3FF)
         lA = wa >> 18
         dA = wa & jnp.int32(0x3FFFF)
         lB = wb >> 18
         dB = wb & jnp.int32(0x3FFFF)
+        lC = wd >> 18
+        dC = wd & jnp.int32(0x3FFFF)
         cA = (wc >> 20) & jnp.int32(0x3FF)
         cB = (wc >> 10) & jnp.int32(0x3FF)
         c3 = wc & jnp.int32(0x3FF)
@@ -146,6 +150,9 @@ def _dp_kernel(lc_ref, wl_ref, wa_ref, wb_ref, wc_ref, out_ref, D_ref, *,
             useB = okB & (cB < cd)
             cd = jnp.where(useB, cB, cd)
             dsel = jnp.where(useB, dB, dsel)
+            useC = (lC >= f) & (cC < cd)
+            cd = jnp.where(useC, cC, cd)
+            dsel = jnp.where(useC, dC, dsel)
             if f == 3:
                 use3 = (d3 > 0) & (c3 < cd)
                 cd = jnp.where(use3, c3, cd)
@@ -167,6 +174,9 @@ def _dp_kernel(lc_ref, wl_ref, wa_ref, wb_ref, wc_ref, out_ref, D_ref, *,
         useB_t = okB_t & (cB < cd_t)
         cd_t = jnp.where(useB_t, cB, cd_t)
         dsel_t = jnp.where(useB_t, dB, dsel_t)
+        useC_t = (lC >= f_tail) & (cC < cd_t)
+        cd_t = jnp.where(useC_t, cC, cd_t)
+        dsel_t = jnp.where(useC_t, dC, dsel_t)
         c_tail = jnp.where(
             tail_sane,
             cd_t + lc_ref[ci, jnp.clip(f_tail, 0, 258)],
@@ -185,8 +195,9 @@ def _dp_kernel(lc_ref, wl_ref, wa_ref, wb_ref, wc_ref, out_ref, D_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("S", "interpret"))
-def dp_parse_pallas(cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3,
-                    lc_len, S: int = 1024, interpret: bool = False):
+def dp_parse_pallas(cost_lit, lenA, dA, cdA, lenB, dB, cdB, lenC, dC, cdC,
+                    d3, cd3, lc_len, S: int = 1024,
+                    interpret: bool = False):
     """Backwards min-cost DP over independent S-position segments.
 
     Signature-parallel to tpu_optimal._dp_parse (batched): [B, n_pad]
@@ -210,10 +221,15 @@ def dp_parse_pallas(cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3,
             )
         return x.reshape(S, lanes_pad // LANE, 8, 128).transpose(1, 0, 2, 3)
 
-    wl = to_rows((cost_lit.astype(jnp.int32) << 14) | d3.astype(jnp.int32))
+    cap = jnp.int32(0x3FF)
+    wl = to_rows(
+        (jnp.minimum(cdC.astype(jnp.int32), cap) << 22)
+        | (jnp.minimum(cost_lit.astype(jnp.int32), jnp.int32(0xFF)) << 14)
+        | d3.astype(jnp.int32)
+    )
     wa = to_rows((lenA.astype(jnp.int32) << 18) | dA.astype(jnp.int32))
     wb = to_rows((lenB.astype(jnp.int32) << 18) | dB.astype(jnp.int32))
-    cap = jnp.int32(0x3FF)
+    wd = to_rows((lenC.astype(jnp.int32) << 18) | dC.astype(jnp.int32))
     wc = to_rows(
         (jnp.minimum(cdA.astype(jnp.int32), cap) << 20)
         | (jnp.minimum(cdB.astype(jnp.int32), cap) << 10)
@@ -235,7 +251,7 @@ def dp_parse_pallas(cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3,
             pl.BlockSpec((1, TS, 8, 128),
                          lambda lb, tb: (lb, n_tb - 1 - tb, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] * 4,
+        ] * 5,
         out_specs=pl.BlockSpec(
             (1, TS, 8, 128),
             lambda lb, tb: (lb, n_tb - 1 - tb, 0, 0),
@@ -244,7 +260,7 @@ def dp_parse_pallas(cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3,
         out_shape=jax.ShapeDtypeStruct((LB, S, 8, 128), jnp.int32),
         scratch_shapes=[pltpu.VMEM((S, 8, 128), jnp.int32)],
         interpret=interpret,
-    )(lc, wl, wa, wb, wc)
+    )(lc, wl, wa, wb, wc, wd)
 
     choices = out.transpose(1, 0, 2, 3).reshape(S, lanes_pad)[:, :lanes]
     choices = choices.T.reshape(Bc, n_pad)

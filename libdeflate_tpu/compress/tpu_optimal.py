@@ -177,8 +177,8 @@ def _take30(table: jax.Array, idx: jax.Array) -> jax.Array:
     return vals[0]
 
 
-def _dp_parse(cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3, lc_len,
-              S: int):
+def _dp_parse(cost_lit, lenA, dA, cdA, lenB, dB, cdB, lenC, dC, cdC,
+              d3, cd3, lc_len, S: int):
     """Backwards min-cost DP over independent S-position segments.
 
     All inputs are [n_pad] arrays; returns (span, dist) per position —
@@ -192,22 +192,26 @@ def _dp_parse(cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3, lc_len,
 
     packA = (lenA.astype(jnp.uint32) << jnp.uint32(18)) | dA.astype(jnp.uint32)
     packB = (lenB.astype(jnp.uint32) << jnp.uint32(18)) | dB.astype(jnp.uint32)
+    packC = (lenC.astype(jnp.uint32) << jnp.uint32(18)) | dC.astype(jnp.uint32)
     xs = (
         jnp.arange(S, dtype=jnp.int32),           # t
         rows(cost_lit),
         rows(packA), rows(cdA),
         rows(packB), rows(cdB),
+        rows(packC), rows(cdC),
         rows(d3), rows(cd3),
     )
 
     ladder = np.asarray(LEN_LADDER, np.int32)
 
     def step(W, x):
-        t, clit, pA, cA, pB, cB, dd3, c3 = x
+        t, clit, pA, cA, pB, cB, pC, cC, dd3, c3 = x
         lA = (pA >> jnp.uint32(18)).astype(jnp.int32)
         dAr = (pA & jnp.uint32(0x3FFFF)).astype(jnp.int32)
         lB = (pB >> jnp.uint32(18)).astype(jnp.int32)
         dBr = (pB & jnp.uint32(0x3FFFF)).astype(jnp.int32)
+        lC = (pC >> jnp.uint32(18)).astype(jnp.int32)
+        dCr = (pC & jnp.uint32(0x3FFFF)).astype(jnp.int32)
 
         best = clit + jax.lax.dynamic_slice_in_dim(W, (t + 1) & (_WIN - 1), 1, 0)[0]
         bspan = jnp.ones_like(best)
@@ -218,12 +222,15 @@ def _dp_parse(cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3, lc_len,
             Df = jax.lax.dynamic_slice_in_dim(W, (t + f) & (_WIN - 1), 1, 0)[0]
             okA = lA >= f
             okB = lB >= f
-            # select min-cost feasible distance among A/B (and d3 at f==3)
+            # select min-cost feasible distance among A/B/C (and d3 at f==3)
             cd = jnp.where(okA, cA, jnp.int32(1 << 28))
             dsel = dAr
             useB = okB & (cB < cd)
             cd = jnp.where(useB, cB, cd)
             dsel = jnp.where(useB, dBr, dsel)
+            useC = (lC >= f) & (cC < cd)
+            cd = jnp.where(useC, cC, cd)
+            dsel = jnp.where(useC, dCr, dsel)
             if f == 3:
                 ok3 = dd3 > 0
                 use3 = ok3 & (c3 < cd)
@@ -248,6 +255,9 @@ def _dp_parse(cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3, lc_len,
         useB_t = okB_t & (cB < cd_t)
         cd_t = jnp.where(useB_t, cB, cd_t)
         dsel_t = jnp.where(useB_t, dBr, dsel_t)
+        useC_t = (lC >= f_tail) & (cC < cd_t)
+        cd_t = jnp.where(useC_t, cC, cd_t)
+        dsel_t = jnp.where(useC_t, dCr, dsel_t)
         c_tail = jnp.where(
             tail_sane,
             cd_t + jax.lax.dynamic_index_in_dim(
@@ -343,7 +353,7 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
     code lengths and re-runs the DP (the reference's iterated cost
     refinement, lib/deflate_compress.c:3416-3530).  Returns the same
     tuple contract as tpu_pipeline._parse_chunk."""
-    bp, pos, lenA, dA, lenB, dB, d3 = _parse_candidates(
+    bp, pos, lenA, dA, lenB, dB, lenC, dC, d3 = _parse_candidates(
         b, length, depth=depth, two_pass=two_pass, hash3=hash3,
         wide_window=wide_window,
     )
@@ -353,11 +363,13 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
     cost_lit = _literal_costs(bp, length, n_pad)
     cdA = _dist_cost(dA)
     cdB = _dist_cost(dB)
+    cdC = _dist_cost(dC)
     cd3 = _dist_cost(d3)
     lc_len = jnp.asarray(_SEED_LC_LEN)
 
     span, dist = _dp_parse(
-        cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3, lc_len, S_eff
+        cost_lit, lenA, dA, cdA, lenB, dB, cdB, lenC, dC, cdC, d3, cd3,
+        lc_len, S_eff
     )
     span = _merge_splits(span, dist, S_eff)
     commit_match, commit_lit, eff = _commit(span, dist, pos, length, S_eff)
@@ -376,8 +388,8 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
             return _take30(dcost_tab, oslot) + BIT * oextra
 
         span, dist = _dp_parse(
-            cost_lit, lenA, dA, dc(dA), lenB, dB, dc(dB), d3, dc(d3),
-            lc_len, S_eff
+            cost_lit, lenA, dA, dc(dA), lenB, dB, dc(dB), lenC, dC,
+            dc(dC), d3, dc(d3), lc_len, S_eff
         )
         span = _merge_splits(span, dist, S_eff)
         commit_match, commit_lit, eff = _commit(span, dist, pos, length,
@@ -452,25 +464,27 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
     n = bufs.shape[1]
 
     def cand(b, length):
-        bp, pos, lenA, dA, lenB, dB, d3 = _parse_candidates(
+        bp, pos, lenA, dA, lenB, dB, lenC, dC, d3 = _parse_candidates(
             b, length, depth=depth, two_pass=two_pass, hash3=hash3,
             wide_window=not (two_pass or hash3),
         )
         cost_lit = _literal_costs(bp, length, bp.shape[0])
-        return bp, pos, cost_lit, lenA, dA, lenB, dB, d3
+        return bp, pos, cost_lit, lenA, dA, lenB, dB, lenC, dC, d3
 
-    bp, pos, cost_lit, lenA, dA, lenB, dB, d3 = jax.vmap(cand)(bufs, lengths)
+    (bp, pos, cost_lit, lenA, dA, lenB, dB, lenC, dC,
+     d3) = jax.vmap(cand)(bufs, lengths)
     n_pad = bp.shape[1]
     S_eff = DP_SEG if (n_pad % DP_SEG == 0 and n_pad >= DP_SEG) else n_pad
 
     cdA = _dist_cost(dA)
     cdB = _dist_cost(dB)
+    cdC = _dist_cost(dC)
     cd3 = _dist_cost(d3)
     lc_len = jnp.asarray(_SEED_LC_LEN)
 
     span, dist = dp_parse_pallas(
-        cost_lit, lenA, dA, cdA, lenB, dB, cdB, d3, cd3, lc_len,
-        S=S_eff, interpret=interpret,
+        cost_lit, lenA, dA, cdA, lenB, dB, cdB, lenC, dC, cdC, d3, cd3,
+        lc_len, S=S_eff, interpret=interpret,
     )
     span = jax.vmap(lambda sp, di: _merge_splits(sp, di, S_eff))(span, dist)
     commit_match, commit_lit, eff = jax.vmap(
@@ -495,8 +509,8 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
 
         span, dist = dp_parse_pallas(
             cost_lit, lenA, dA, dcv(dA, dcost_tab), lenB, dB,
-            dcv(dB, dcost_tab), d3, dcv(d3, dcost_tab), lc_len,
-            S=S_eff, interpret=interpret,
+            dcv(dB, dcost_tab), lenC, dC, dcv(dC, dcost_tab), d3,
+            dcv(d3, dcost_tab), lc_len, S=S_eff, interpret=interpret,
         )
         span = jax.vmap(lambda sp, di: _merge_splits(sp, di, S_eff))(span,
                                                                      dist)

@@ -192,7 +192,8 @@ def _segment_sizes(n: int, wide: bool = False) -> tuple[int, int, int]:
 def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
                       w8: jax.Array | None, w12: jax.Array | None, seg: int,
                       depth: int = 2, wide_ext: bool = False,
-                      return_pair: bool = False):
+                      return_pair: bool = False,
+                      return_triple: bool = False):
     """Nearest (and second-nearest) previous same-hash candidates per
     position via ONE batched segment sort carrying the position's own 16
     bytes as payloads; the LCP is byte-exact up to 19: word-granular
@@ -257,7 +258,7 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
         return mlen, dist, fine
 
     mlen, dist, fine = probe(1)
-    if not (deep and (wide_ext or return_pair)):
+    if not (deep and (wide_ext or return_pair or return_triple)):
         for d in range(2, depth + 1):
             m2, d2, f2 = probe(d)
             better = (m2 > mlen) | ((m2 == mlen) & (f2 > fine))
@@ -280,6 +281,10 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
     # payload rides the same sorts (sort cost is payload-count-insensitive
     # on this chip).
     z = jnp.zeros_like(mlen)
+    # candidate C: the nearest same-hash occurrence (probe distance 1 in
+    # sorted order IS the closest previous position) — the DP wants the
+    # minimum-distance option per rung, which A/B (longest two) may miss
+    mlenC, distC, fineC = mlen, dist, fine
     mlen2, dist2, fine2 = z, z, z
     for d in range(2, depth + 1):
         m2, d2, f2 = probe(d)
@@ -301,6 +306,19 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
 
     pay_a = (mlen << jnp.uint32(18)) | (fine << jnp.uint32(16)) | dist
     pay_b = (mlen2 << jnp.uint32(18)) | (fine2 << jnp.uint32(16)) | dist2
+    if return_triple:
+        pay_c = (mlenC << jnp.uint32(18)) | (fineC << jnp.uint32(16)) | distC
+        _, pa, pb, pc = jax.lax.sort(
+            (slp, pay_a, pay_b, pay_c), num_keys=1, dimension=1
+        )
+        def unpack(x):
+            x = x.reshape(n)
+            return (
+                (x >> jnp.uint32(18)).astype(jnp.int32),
+                (x & jnp.uint32(0xFFFF)).astype(jnp.int32),
+                ((x >> jnp.uint32(16)) & jnp.uint32(3)).astype(jnp.int32),
+            )
+        return _chain_extend3(*unpack(pa), *unpack(pb), *unpack(pc))
     _, pa, pb = jax.lax.sort((slp, pay_a, pay_b), num_keys=1, dimension=1)
     pa = pa.reshape(n)
     pb = pb.reshape(n)
@@ -372,6 +390,44 @@ def _chain_extend2(mA, dA, fA, mB, dB, fB, return_pair: bool = False):
         return lenA, dA, lenB, dB
     useB = lenB > lenA
     return jnp.where(useB, lenB, lenA), jnp.where(useB, dB, dA)
+
+
+def _chain_extend3(mA, dA, fA, mB, dB, fB, mC, dC, fC):
+    """Three-candidate stride-8 chain extension (candidates A, B, and the
+    nearest-occurrence C); each chain may splice with any downstream
+    candidate continuing at the same distance.  Returns all three
+    extended (lenX, distX) pairs for the min-cost DP."""
+    rs = [mA, mB, mC]
+    fs = [fA, fB, fC]
+    ds = [dA, dB, dC]
+    s = 8
+    while s < MAX_LEN:
+        def sh(x):
+            return jnp.concatenate([x[s:], jnp.zeros(s, jnp.int32)])
+        r_s = [sh(r) for r in rs]
+        d_s = [sh(d) for d in ds]
+        f_s = [sh(f) for f in fs]
+        new_r, new_f = [], []
+        for k in range(3):
+            at = rs[k] == s
+            take = [at & (d_s[j] == ds[k]) for j in range(3)]
+            # prefer splicing with A, then B, then C
+            t0 = take[0]
+            t1 = take[1] & ~t0
+            t2 = take[2] & ~t0 & ~t1
+            add = jnp.where(t0, r_s[0], jnp.where(t1, r_s[1],
+                            jnp.where(t2, r_s[2], 0)))
+            nf = jnp.where(t0, f_s[0], jnp.where(t1, f_s[1],
+                           jnp.where(t2, f_s[2], fs[k])))
+            new_r.append(rs[k] + add)
+            new_f.append(nf)
+        rs, fs = new_r, new_f
+        s *= 2
+    outs = []
+    for k in range(3):
+        ln = jnp.minimum(rs[k] + jnp.where(rs[k] >= 4, fs[k], 0), MAX_LEN)
+        outs += [ln, ds[k]]
+    return tuple(outs)
 
 
 def _greedy_commit(span: jax.Array, is_match: jax.Array, seg: int):
@@ -663,8 +719,9 @@ def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
     parse (lib/deflate_compress.c:3592-3849), with the candidate list
     truncated to 2 (+1 len-3) per position.
 
-    Returns (bp, pos, lenA, distA, lenB, distB, dist3) over the padded
-    array; lengths are clipped to the chunk tail, dist3 == 0 means no
+    Returns (bp, pos, lenA, distA, lenB, distB, lenC, distC, dist3) over
+    the padded array; C is the nearest-occurrence candidate (minimum
+    distance), lengths are clipped to the chunk tail, dist3 == 0 means no
     len-3 candidate."""
     n = b.shape[0]
     n_pad, sort_seg, _ = _segment_sizes(n, wide=wide_window)
@@ -682,8 +739,8 @@ def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
     )
     h = jnp.where(pos + MIN_MATCH <= length, h, jnp.uint32(junk_val))
 
-    lenA, dA, lenB, dB = _sorted_matchfind(
-        h, words_u32, w4, w8, w12, sort_seg, depth=depth, return_pair=True
+    lenA, dA, lenB, dB, lenC, dC = _sorted_matchfind(
+        h, words_u32, w4, w8, w12, sort_seg, depth=depth, return_triple=True
     )
     if two_pass and sort_seg >= 2 * FSM_SEG:
         # half-segment-shifted rescue pass (full-window history coverage);
@@ -712,6 +769,7 @@ def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
     cap = jnp.clip(length - pos, 0, MAX_LEN)
     lenA = jnp.minimum(lenA, cap)
     lenB = jnp.minimum(lenB, cap)
+    lenC = jnp.minimum(lenC, cap)
 
     if hash3:
         h3 = (
@@ -723,7 +781,7 @@ def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
         d3 = jnp.where(cap >= 3, d3, 0)
     else:
         d3 = jnp.zeros_like(lenA)
-    return bp, pos, lenA, dA, lenB, dB, d3
+    return bp, pos, lenA, dA, lenB, dB, lenC, dC, d3
 
 
 def compress_chunk_static(b: jax.Array, length: jax.Array, bfinal: jax.Array):

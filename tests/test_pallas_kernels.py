@@ -40,15 +40,19 @@ def test_dp_kernel_matches_xla():
         rng.random((B, n_pad)) < 0.5, rng.integers(1, 8193, (B, n_pad)), 0
     ).astype(np.int32)
 
+    lenC = np.minimum(rng.integers(0, 259, (B, n_pad)), lenA).astype(np.int32)
+    dC = rng.integers(1, 32769, (B, n_pad)).astype(np.int32)
     lc = jnp.asarray(to._SEED_LC_LEN)
     spans_ref, dists_ref = [], []
     for b in range(B):
         cdA = to._dist_cost(jnp.asarray(dA[b]))
         cdB = to._dist_cost(jnp.asarray(dB[b]))
+        cdC = to._dist_cost(jnp.asarray(dC[b]))
         cd3 = to._dist_cost(jnp.asarray(d3[b]))
         s, d = to._dp_parse(
             jnp.asarray(cost_lit[b]), jnp.asarray(lenA[b]), jnp.asarray(dA[b]),
             cdA, jnp.asarray(lenB[b]), jnp.asarray(dB[b]), cdB,
+            jnp.asarray(lenC[b]), jnp.asarray(dC[b]), cdC,
             jnp.asarray(d3[b]), cd3, lc, S,
         )
         spans_ref.append(np.asarray(s))
@@ -58,6 +62,7 @@ def test_dp_kernel_matches_xla():
         jnp.asarray(cost_lit), jnp.asarray(lenA), jnp.asarray(dA),
         to._dist_cost(jnp.asarray(dA)),
         jnp.asarray(lenB), jnp.asarray(dB), to._dist_cost(jnp.asarray(dB)),
+        jnp.asarray(lenC), jnp.asarray(dC), to._dist_cost(jnp.asarray(dC)),
         jnp.asarray(d3), to._dist_cost(jnp.asarray(d3)), lc,
         S=S, interpret=True,
     )
