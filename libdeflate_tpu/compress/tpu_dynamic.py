@@ -64,10 +64,15 @@ NSYM = 286            # litlen symbols declared (HLIT=29)
 NDIST = 30            # distance symbols declared (HDIST=29)
 NSYM_ALL = NSYM + NDIST
 DONT_CARE = NSYM_ALL  # sorts after every real symbol
-MAX_CODE_LEN = 11     # keeps emission slots 32-bit; Kraft budget 2^11
-KRAFT = 1 << MAX_CODE_LEN
-# worst group: 128 literals * 11 bits = 1408 bits -> 44 words + carry
-DYN_CAPW = 45
+# Code-length cap per tier: the speed tiers keep 11 (smaller group pack
+# buffers, cheaper premerge); the quality tiers use DEFLATE's full 15
+# (-0.06pp measured on the deep tier).  _canonical_table's packing and
+# the fixed 4-bit precode cover both.
+MAX_CODE_LEN = 11
+MAX_CODE_LEN_DEEP = 15
+# worst group: 128 literals * cap bits + carry word
+DYN_CAPW = (128 * MAX_CODE_LEN + 31) // 32 + 1        # 45
+DYN_CAPW_DEEP = (128 * MAX_CODE_LEN_DEEP + 31) // 32 + 1  # 61
 
 # ---------------------------------------------------------------------------
 # Constant tables (numpy, built once at import)
@@ -133,8 +138,9 @@ def _bsr_i32(x):
     return 31 - jax.lax.clz(jnp.maximum(x.astype(jnp.int32), 1))
 
 
-def _build_code_lens(hist: jax.Array, nsym: int, refine_passes: int = 0):
-    """Kraft-exact length assignment, lens in [0..MAX_CODE_LEN].
+def _build_code_lens(hist: jax.Array, nsym: int, refine_passes: int = 0,
+                     max_len: int = MAX_CODE_LEN):
+    """Kraft-exact length assignment, lens in [0..max_len].
 
     Returns (lens int32[nsym], ok bool); `ok` False means the completion
     passes could not spend the budget exactly and the caller must fall
@@ -143,15 +149,20 @@ def _build_code_lens(hist: jax.Array, nsym: int, refine_passes: int = 0):
     total = jnp.maximum(jnp.sum(hist), 1)
     used = hist > 0
 
-    # ideal Kraft share rounded to the NEAREST power of two in [1, 2^10]
-    share = (hist.astype(jnp.uint32) * jnp.uint32(KRAFT)) // total.astype(jnp.uint32)
+    # ideal Kraft share rounded to the NEAREST power of two (f32 ratio:
+    # hist * KRAFT overflows u32 at the 2^15 budget; the rounding is only
+    # a seed — the fix loop below enforces the Kraft sum exactly)
+    kraft = 1 << max_len
+    share = (
+        hist.astype(jnp.float32) * (float(kraft) / total.astype(jnp.float32))
+    ).astype(jnp.uint32)
     e = _bsr_i32(jnp.maximum(share, 1))
     half = jnp.uint32(1) << jnp.maximum(e - 1, 0).astype(jnp.uint32)
     bump = share - (jnp.uint32(1) << e.astype(jnp.uint32)) > half
     e = e + bump.astype(jnp.int32)
     k_des = jnp.where(
         used,
-        jnp.left_shift(jnp.int32(1), jnp.clip(e, 0, MAX_CODE_LEN - 1)),
+        jnp.left_shift(jnp.int32(1), jnp.clip(e, 0, max_len - 1)),
         0,
     )
 
@@ -173,7 +184,7 @@ def _build_code_lens(hist: jax.Array, nsym: int, refine_passes: int = 0):
         return budget - k, k
 
     _, k_got = jax.lax.scan(
-        step, jnp.int32(KRAFT), (k_sorted, used_sorted, remaining_after)
+        step, jnp.int32(kraft), (k_sorted, used_sorted, remaining_after)
     )
     k = jnp.zeros(nsym, jnp.int32).at[order].set(k_got)
 
@@ -181,7 +192,7 @@ def _build_code_lens(hist: jax.Array, nsym: int, refine_passes: int = 0):
     # the smallest k > R to raise R; bounded passes, no-ops once R == 0
     def fix(state, _):
         k, r = state
-        can_dbl = used & (k <= r) & (k < (KRAFT >> 1))
+        can_dbl = used & (k <= r) & (k < (kraft >> 1))
         any_dbl = jnp.any(can_dbl)
         dbl_pick = jnp.argmax(jnp.where(can_dbl, k, -1))
         can_hlv = used & (k > r) & (k >= 2)
@@ -195,9 +206,9 @@ def _build_code_lens(hist: jax.Array, nsym: int, refine_passes: int = 0):
         return (k, r), None
 
     (k, r), _ = jax.lax.scan(
-        fix, (k, jnp.int32(KRAFT) - jnp.sum(k)), None, length=48
+        fix, (k, jnp.int32(kraft) - jnp.sum(k)), None, length=48
     )
-    lens = jnp.where(k > 0, MAX_CODE_LEN - _bsr_i32(jnp.maximum(k, 1)), 0)
+    lens = jnp.where(k > 0, max_len - _bsr_i32(jnp.maximum(k, 1)), 0)
 
     # budget-neutral refinement toward the optimal code: shortening the
     # most frequent symbol at level l while lengthening the least frequent
@@ -221,7 +232,7 @@ def _build_code_lens(hist: jax.Array, nsym: int, refine_passes: int = 0):
             )
             return lens, None
         lens, _ = jax.lax.scan(
-            level_step, lens, jnp.arange(2, MAX_CODE_LEN + 1)
+            level_step, lens, jnp.arange(2, max_len + 1)
         )
         return lens, None
 
@@ -234,7 +245,7 @@ def _build_code_lens(hist: jax.Array, nsym: int, refine_passes: int = 0):
 def _canonical_table(lens: jax.Array, nsym: int) -> jax.Array:
     """T[sym] = rev_code<<4 | len (packed), canonical per RFC 1951 §3.2.2."""
     sym = jnp.arange(nsym)
-    l_iota = jnp.arange(MAX_CODE_LEN + 1)
+    l_iota = jnp.arange(MAX_CODE_LEN_DEEP + 1)
     bl_count = jnp.sum(
         (lens[None, :] == l_iota[:, None]).astype(jnp.int32), axis=1
     ).at[0].set(0)
@@ -345,7 +356,8 @@ def emit_dynamic_block(bp, bfinal, commit_match, commit_lit, eff, dist,
         bp, commit_match, commit_lit, eff, dist, n_pad, refine_passes
     )
     nwords = _dyn_nwords(n)
-    words = _group_pack(val, nb, offs, nwords, capw=DYN_CAPW)
+    capw = DYN_CAPW_DEEP if refine_passes else DYN_CAPW
+    words = _group_pack(val, nb, offs, nwords, capw=capw)
     return _emit_dynamic_post(words, aux, bfinal)
 
 
@@ -390,8 +402,9 @@ def _emit_dynamic_pre(bp, commit_match, commit_lit, eff, dist,
     hist_dist = hist_dist.at[0].add(jnp.where(hist_dist[0] == 0, 1, 0))
     hist_dist = hist_dist.at[1].add(jnp.where(hist_dist[1] == 0, 1, 0))
 
-    lit_lens, ok_l = _build_code_lens(hist_lit, NSYM, refine_passes)
-    dist_lens, ok_d = _build_code_lens(hist_dist, NDIST, refine_passes)
+    max_len = MAX_CODE_LEN_DEEP if refine_passes else MAX_CODE_LEN
+    lit_lens, ok_l = _build_code_lens(hist_lit, NSYM, refine_passes, max_len)
+    dist_lens, ok_d = _build_code_lens(hist_dist, NDIST, refine_passes, max_len)
     t_lit = _canonical_table(lit_lens, NSYM)
     t_dist = _canonical_table(dist_lens, NDIST)
 
@@ -546,7 +559,8 @@ def _compress_chunks_dynamic_pallas(bufs, lengths, bfinal, *, two_pass: bool,
         (val, nb, offs), aux = _emit_dynamic_pre(
             bp, commit_match, commit_lit, eff, dist, n_pad, refine_passes
         )
-        sbuf, gw = _group_premerge(val, nb, offs, capw=DYN_CAPW)
+        capw = DYN_CAPW_DEEP if refine_passes else DYN_CAPW
+        sbuf, gw = _group_premerge(val, nb, offs, capw=capw)
         return sbuf, gw, aux
 
     sbuf, gw, aux = jax.vmap(front)(bufs, lengths, bfinal)

@@ -118,10 +118,10 @@ def _literal_costs(bp: jax.Array, length: jax.Array, n_pad: int,
     if table is None:
         h = hist[:256]
         total = jnp.maximum(jnp.sum(h), 1).astype(jnp.float32)
-        # cost = -16*log2(p), clamped to [1, 11] bits (the dynamic-code cap)
+        # cost = -16*log2(p), clamped to [1, 15] bits (the dynamic-code cap)
         bits = jnp.log2(total) - jnp.log2(jnp.maximum(h, 1).astype(jnp.float32))
-        cost = jnp.clip(jnp.round(BIT * bits).astype(jnp.int32), BIT, 11 * BIT)
-        cost = jnp.where(h > 0, cost, 11 * BIT)
+        cost = jnp.clip(jnp.round(BIT * bits).astype(jnp.int32), BIT, 15 * BIT)
+        cost = jnp.where(h > 0, cost, 15 * BIT)
     else:
         cost = jnp.where(table > 0, table, 14 * BIT).astype(jnp.int32)
     table_full = jnp.concatenate([cost, jnp.zeros(1, jnp.int32)])
@@ -339,8 +339,9 @@ def _code_lens_from_items(bp, commit_match, commit_lit, eff, dist,
     hist_dist = hist[NSYM:]
     hist_dist = hist_dist.at[0].add(jnp.where(hist_dist[0] == 0, 1, 0))
     hist_dist = hist_dist.at[1].add(jnp.where(hist_dist[1] == 0, 1, 0))
-    lit_lens, _ = _build_code_lens(hist_lit, NSYM, 16)
-    dist_lens, _ = _build_code_lens(hist_dist, NDIST, 16)
+    from .tpu_dynamic import MAX_CODE_LEN_DEEP
+    lit_lens, _ = _build_code_lens(hist_lit, NSYM, 16, MAX_CODE_LEN_DEEP)
+    dist_lens, _ = _build_code_lens(hist_dist, NDIST, 16, MAX_CODE_LEN_DEEP)
     return lit_lens, dist_lens
 
 
@@ -454,7 +455,7 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
                                     interpret: bool = False):
     from .pallas_kernels import dp_parse_pallas, pack_groups_pallas
     from .tpu_dynamic import (
-        DYN_CAPW,
+        DYN_CAPW_DEEP,
         _dyn_nwords,
         _emit_dynamic_post,
         _emit_dynamic_pre,
@@ -523,7 +524,7 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
             bp, commit_match, commit_lit, eff, dist, bp.shape[0],
             refine_passes=16,
         )
-        sbuf, gw = _group_premerge(val, nb, offs, capw=DYN_CAPW)
+        sbuf, gw = _group_premerge(val, nb, offs, capw=DYN_CAPW_DEEP)
         return sbuf, gw, aux
 
     sbuf, gw, aux = jax.vmap(back)(
