@@ -318,7 +318,9 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
                 (x & jnp.uint32(0xFFFF)).astype(jnp.int32),
                 ((x >> jnp.uint32(16)) & jnp.uint32(3)).astype(jnp.int32),
             )
-        return _chain_extend3(*unpack(pa), *unpack(pb), *unpack(pc))
+        # raw (word-granular) triples: the caller extends jointly with any
+        # other candidate pools (content pass) via _chain_extend_multi
+        return unpack(pa), unpack(pb), unpack(pc)
     _, pa, pb = jax.lax.sort((slp, pay_a, pay_b), num_keys=1, dimension=1)
     pa = pa.reshape(n)
     pb = pb.reshape(n)
@@ -331,6 +333,125 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
         ((pb >> jnp.uint32(16)) & jnp.uint32(3)).astype(jnp.int32),
         return_pair=return_pair,
     )
+
+
+def _content_sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
+                              w8: jax.Array, w12: jax.Array, seg: int,
+                              depth: int = 6):
+    """Suffix-array-flavored candidate pass: sort segment positions by
+    (hash, next-17-content-bits, position) so LEXICOGRAPHIC neighbors —
+    the suffixes sharing the longest prefixes — sit adjacent, then probe
+    +-depth neighbors in BOTH directions with window filtering.  This is
+    the role of the bt matchfinder's lexicographically-sorted trees
+    (lib/bt_matchfinder.h:88-101): the longest match in the window is
+    always reachable via a content neighbor, where position-ordered
+    probes need the full bucket depth to find it.  Returns the best and
+    best-with-a-different-distance (len, dist, fine) packed pairs per
+    position (pre-extension word-granular lengths)."""
+    n = h.shape[0]
+    m = n // seg
+    pos_bits, junk = _seg_key_params(seg)
+    lp = jax.lax.broadcasted_iota(jnp.uint32, (m, seg), 1)
+    # 17 content bits beyond the hashed prefix: bytes 4, 5 and the top
+    # bit of byte 6 (w4 is little-endian: byte 4 is its low byte)
+    b4 = w4.reshape(m, seg) & jnp.uint32(0xFF)
+    b5 = (w4.reshape(m, seg) >> jnp.uint32(8)) & jnp.uint32(0xFF)
+    b6t = (w4.reshape(m, seg) >> jnp.uint32(23)) & jnp.uint32(1)
+    k1 = (
+        (h.reshape(m, seg).astype(jnp.uint32) << jnp.uint32(17))
+        | (b4 << jnp.uint32(9)) | (b5 << jnp.uint32(1)) | b6t
+    )
+    # second ordering word: bytes 6..9 byte-reversed so lexicographic
+    # order matches byte order (w4/w8 are little-endian words) — without
+    # it, heavy 6-byte-prefix repeats (records) tie back to position
+    # order and the content-neighbor property evaporates
+    w6 = (w4.reshape(m, seg) >> jnp.uint32(16)) | (
+        w8.reshape(m, seg) << jnp.uint32(16))
+    k2 = (
+        ((w6 & jnp.uint32(0xFF)) << jnp.uint32(24))
+        | ((w6 & jnp.uint32(0xFF00)) << jnp.uint32(8))
+        | ((w6 >> jnp.uint32(8)) & jnp.uint32(0xFF00))
+        | (w6 >> jnp.uint32(24))
+    )
+    ops = (k1, k2, lp, w.reshape(m, seg), w4.reshape(m, seg),
+           w8.reshape(m, seg), w12.reshape(m, seg))
+    sk1, _, slp, sw, sw4, sw8, sw12 = jax.lax.sort(
+        ops, num_keys=3, dimension=1)
+    shash = sk1 >> jnp.uint32(17)
+    col = jax.lax.broadcasted_iota(jnp.int32, (m, seg), 1)
+
+    def tz_bytes(x):
+        return jnp.where(
+            (x & jnp.uint32(0xFF)) != 0,
+            jnp.uint32(0),
+            jnp.where(
+                (x & jnp.uint32(0xFFFF)) != 0,
+                jnp.uint32(1),
+                jnp.where((x & jnp.uint32(0xFFFFFF)) != 0, jnp.uint32(2),
+                          jnp.uint32(3)),
+            ),
+        )
+
+    def probe(d):
+        same = (
+            (shash == jnp.roll(shash, d, axis=1))
+            & (shash != jnp.uint32(junk))
+            & (col >= d if d > 0 else col < seg + d)
+        )
+        dist_i = slp.astype(jnp.int32) - jnp.roll(slp, d, axis=1).astype(
+            jnp.int32)
+        ok = same & (dist_i >= 1) & (dist_i <= WINDOW)
+        x0 = sw ^ jnp.roll(sw, d, axis=1)
+        x1 = sw4 ^ jnp.roll(sw4, d, axis=1)
+        eq4 = ok & (x0 == 0)
+        eq8 = eq4 & (x1 == 0)
+        mlen = eq4.astype(jnp.uint32) * 4 + eq8.astype(jnp.uint32) * 4
+        x2 = sw8 ^ jnp.roll(sw8, d, axis=1)
+        x3 = sw12 ^ jnp.roll(sw12, d, axis=1)
+        eq12 = eq8 & (x2 == 0)
+        eq16 = eq12 & (x3 == 0)
+        mlen = mlen + eq12.astype(jnp.uint32) * 4 + eq16.astype(jnp.uint32) * 4
+        x_sel = jnp.where(~eq8, x1, jnp.where(~eq12, x2,
+                          jnp.where(~eq16, x3, 0)))
+        fine = jnp.where((x_sel != 0) & eq4, tz_bytes(x_sel), jnp.uint32(0))
+        dist = jnp.where(eq4, dist_i.astype(jnp.uint32), jnp.uint32(0))
+        return mlen, dist, fine
+
+    z = jnp.zeros((m, seg), jnp.uint32)
+    mlen, dist, fine = z, z, z
+    mlen2, dist2, fine2 = z, z, z
+    for d in list(range(1, depth + 1)) + [-dd for dd in range(1, depth + 1)]:
+        m2, d2, f2 = probe(d)
+        better = (m2 > mlen) | ((m2 == mlen) & (f2 > fine)) \
+            | ((m2 == mlen) & (f2 == fine) & (d2 < dist) & (d2 > 0))
+        cm = jnp.where(better, mlen, m2)
+        cd = jnp.where(better, dist, d2)
+        cf = jnp.where(better, fine, f2)
+        nbd = jnp.where(better, d2, dist)
+        upd2 = (cd != nbd) & (cd != 0) & (
+            (cm > mlen2) | ((cm == mlen2) & (cf > fine2))
+        )
+        mlen2 = jnp.where(upd2, cm, mlen2)
+        dist2 = jnp.where(upd2, cd, dist2)
+        fine2 = jnp.where(upd2, cf, fine2)
+        mlen = jnp.where(better, m2, mlen)
+        dist = jnp.where(better, d2, dist)
+        fine = jnp.where(better, f2, fine)
+
+    pay_a = (mlen << jnp.uint32(18)) | (fine << jnp.uint32(16)) | dist
+    pay_b = (mlen2 << jnp.uint32(18)) | (fine2 << jnp.uint32(16)) | dist2
+    _, pa, pb = jax.lax.sort((slp, pay_a, pay_b), num_keys=1, dimension=1)
+    pa = pa.reshape(n)
+    pb = pb.reshape(n)
+
+    def unpack(x):
+        return (
+            (x >> jnp.uint32(18)).astype(jnp.int32),
+            (x & jnp.uint32(0xFFFF)).astype(jnp.int32),
+            ((x >> jnp.uint32(16)) & jnp.uint32(3)).astype(jnp.int32),
+        )
+
+    return unpack(pa) + unpack(pb)
 
 
 def _chain_extend(mlen: jax.Array, dist: jax.Array, fine: jax.Array):
@@ -392,42 +513,58 @@ def _chain_extend2(mA, dA, fA, mB, dB, fB, return_pair: bool = False):
     return jnp.where(useB, lenB, lenA), jnp.where(useB, dB, dA)
 
 
-def _chain_extend3(mA, dA, fA, mB, dB, fB, mC, dC, fC):
-    """Three-candidate stride-8 chain extension (candidates A, B, and the
-    nearest-occurrence C); each chain may splice with any downstream
-    candidate continuing at the same distance.  Returns all three
-    extended (lenX, distX) pairs for the min-cost DP."""
-    rs = [mA, mB, mC]
-    fs = [fA, fB, fC]
-    ds = [dA, dB, dC]
-    s = 8
-    while s < MAX_LEN:
-        def sh(x):
-            return jnp.concatenate([x[s:], jnp.zeros(s, jnp.int32)])
-        r_s = [sh(r) for r in rs]
-        d_s = [sh(d) for d in ds]
-        f_s = [sh(f) for f in fs]
-        new_r, new_f = [], []
-        for k in range(3):
-            at = rs[k] == s
-            take = [at & (d_s[j] == ds[k]) for j in range(3)]
-            # prefer splicing with A, then B, then C
-            t0 = take[0]
-            t1 = take[1] & ~t0
-            t2 = take[2] & ~t0 & ~t1
-            add = jnp.where(t0, r_s[0], jnp.where(t1, r_s[1],
-                            jnp.where(t2, r_s[2], 0)))
-            nf = jnp.where(t0, f_s[0], jnp.where(t1, f_s[1],
-                           jnp.where(t2, f_s[2], fs[k])))
-            new_r.append(rs[k] + add)
-            new_f.append(nf)
-        rs, fs = new_r, new_f
-        s *= 2
+def _chain_extend_multi(cands):
+    """N-candidate chain extension by multi-stride max-relaxation.
+
+    Exact identity: lcp(i, d) >= s  =>  lcp(i, d) = s + lcp(i+s, d) for
+    ANY s — not just the stride-boundary case the old == test used (which
+    broke whenever position i+s's candidates had different distances and
+    underestimated 16-28%% of lengths by up to 43 bytes, measured).  Each
+    pass takes r = max(r, s + r_down) over every downstream candidate
+    slot at distance d; word-estimates only ever under-report, so the
+    relaxation is sound and monotone.  `fine` (trailing bytes past the
+    last equal word) is adopted from whichever downstream slot supplied
+    the max, keeping lengths byte-exact.  Ascending strides compound
+    within a round (values grow geometrically), two rounds reach 258.
+
+    cands: list of (mlen, dist, fine) i32 triples; returns a list of
+    (len, dist) pairs, lengths byte-exact and capped at MAX_LEN.
+    """
+    K = len(cands)
+    rs = [c[0] for c in cands]
+    ds = [c[1] for c in cands]
+    fs = [c[2] for c in cands]
+    for _ in range(2):
+        for s in (1, 2, 4, 8, 16, 32, 64, 128):
+            def sh(x):
+                return jnp.concatenate([x[s:], jnp.zeros(s, jnp.int32)])
+            r_s = [sh(r) for r in rs]
+            d_s = [sh(d) for d in ds]
+            f_s = [sh(f) for f in fs]
+            new_r, new_f = [], []
+            for k in range(K):
+                can = rs[k] >= s
+                r_new, f_new = rs[k], fs[k]
+                for j in range(K):
+                    cand = jnp.where(can & (d_s[j] == ds[k]),
+                                     s + r_s[j], 0)
+                    better = cand > r_new
+                    f_new = jnp.where(better, f_s[j], f_new)
+                    r_new = jnp.where(better, cand, r_new)
+                new_r.append(r_new)
+                new_f.append(f_new)
+            rs, fs = new_r, new_f
     outs = []
-    for k in range(3):
+    for k in range(K):
         ln = jnp.minimum(rs[k] + jnp.where(rs[k] >= 4, fs[k], 0), MAX_LEN)
-        outs += [ln, ds[k]]
-    return tuple(outs)
+        outs.append((ln, ds[k]))
+    return outs
+
+
+def _chain_extend3(mA, dA, fA, mB, dB, fB, mC, dC, fC):
+    """Three-candidate wrapper over _chain_extend_multi."""
+    outs = _chain_extend_multi([(mA, dA, fA), (mB, dB, fB), (mC, dC, fC)])
+    return outs[0] + outs[1] + outs[2]
 
 
 def _greedy_commit(span: jax.Array, is_match: jax.Array, seg: int):
@@ -739,9 +876,42 @@ def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
     )
     h = jnp.where(pos + MIN_MATCH <= length, h, jnp.uint32(junk_val))
 
-    lenA, dA, lenB, dB, lenC, dC = _sorted_matchfind(
+    rawA, rawB, rawC = _sorted_matchfind(
         h, words_u32, w4, w8, w12, sort_seg, depth=depth, return_triple=True
     )
+    # content-ordered pass: lexicographic neighbors give the length-best
+    # candidates the position-ordered probes need full bucket depth to
+    # reach (the bt matchfinder's sorted-tree property)
+    cA = _content_sorted_matchfind(
+        h, words_u32, w4, w8, w12, sort_seg, depth=max(depth * 2 // 3, 4)
+    )
+    rawD = cA[0:3]
+    rawE = cA[3:6]
+    ext = _chain_extend_multi([rawA, rawB, rawC, rawD, rawE])
+
+    # pool selection: A = longest (ties: nearest), B = second-longest at a
+    # distinct distance, C = nearest occurrence with len >= 4
+    lenA = jnp.zeros_like(ext[0][0])
+    dA = jnp.zeros_like(lenA)
+    lenB = jnp.zeros_like(lenA)
+    dB = jnp.zeros_like(lenA)
+    lenC = jnp.zeros_like(lenA)
+    dC = jnp.zeros_like(lenA)
+    for ln, dd in ext:
+        valid = (dd > 0) & (ln >= 4)
+        ln = jnp.where(valid, ln, 0)
+        beats_a = (ln > lenA) | ((ln == lenA) & valid & (dd < dA))
+        # displaced A drops to B unless the new winner shares its distance
+        newB_l = jnp.where(beats_a & (dd != dA), lenA, lenB)
+        newB_d = jnp.where(beats_a & (dd != dA), dA, dB)
+        beats_b = ~beats_a & valid & (dd != dA) & (ln > lenB)
+        lenB = jnp.where(beats_b, ln, newB_l)
+        dB = jnp.where(beats_b, dd, newB_d)
+        lenA = jnp.where(beats_a, ln, lenA)
+        dA = jnp.where(beats_a, dd, dA)
+        beats_c = valid & ((dC == 0) | (dd < dC))
+        lenC = jnp.where(beats_c, ln, lenC)
+        dC = jnp.where(beats_c, dd, dC)
     if two_pass and sort_seg >= 2 * FSM_SEG:
         # half-segment-shifted rescue pass (full-window history coverage);
         # merge its candidate into the pair, keeping distinct distances
