@@ -112,7 +112,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     import libdeflate_tpu as ld
-    from libdeflate_tpu.compress.tpu_dynamic import compress_chunks_dynamic
+    from libdeflate_tpu.compress import tpu_dynamic as td
+    from libdeflate_tpu.compress import tpu_optimal as to
     from libdeflate_tpu.compress.tpu_pipeline import device_stream_to_bytes
 
     corpus = make_corpus()
@@ -138,47 +139,63 @@ def main() -> None:
             )
         )
 
-    # warmup / compile (note: host materialization is the only reliable sync
-    # under the axon relay — block_until_ready returns early there)
-    w, t = compress_chunks_dynamic(*batches[0])
-    _ = np.asarray(t)
-
-    # Interleave our repetitions with the reference's so both sides sample
-    # the same host-load noise (sequential phases measured up to +-20%
-    # apart on this box); best-of-4 each.
-    build_reference()
-    dt = float("inf")
-    base_gbps, base_ratio = None, None
-    for _ in range(4):
-        t0 = time.perf_counter()
-        outs = []
-        for b in batches:
-            outs.append(compress_chunks_dynamic(*b))
-        for _, t in outs:
-            _ = np.asarray(t)
-        dt = min(dt, time.perf_counter() - t0)
-        g, r = measure_baseline_once(corpus_path)
-        if g is not None:
-            base_gbps = g if base_gbps is None else max(base_gbps, g)
-            base_ratio = r
-    nbytes = len(batches) * BATCH * CHUNK
-    gbps = nbytes / dt / 1e9
-
-    # correctness spot-check: first batch round-trips bit-exactly
+    # Candidate tiers, fastest first.  Pallas variants are preferred;
+    # each falls back transparently if the kernel path fails on this
+    # stack.  The reported tier is the FASTEST one whose ratio beats the
+    # live baseline's; if none does, the fastest overall is reported
+    # (ratio context always included in the JSON line).
+    tiers = [
+        ("dyn1-pallas", getattr(td, "compress_chunks_dynamic_pallas", None)),
+        ("dyn1", td.compress_chunks_dynamic),
+        ("opt2", to.compress_chunks_optimal2),
+    ]
     import zlib
 
-    ww, tt = outs[0]
-    ww, tt = np.asarray(ww), np.asarray(tt)
-    comp_total = 0
-    for k in range(BATCH):
-        stream = device_stream_to_bytes(ww[k], tt[k])
-        assert zlib.decompressobj(-15).decompress(stream) == bufs[k].tobytes()
-        comp_total += len(stream)
+    build_reference()
+    nbytes = len(batches) * BATCH * CHUNK
+    results = {}
+    base_gbps, base_ratio = None, None
+    for name, fn in tiers:
+        if fn is None:
+            continue
+        try:
+            outs = [fn(*b) for b in batches]
+            for _, t in outs:
+                _ = np.asarray(t)
+        except Exception as e:  # kernel unsupported on this stack
+            print(f"tier {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            continue
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [fn(*b) for b in batches]
+            for _, t in outs:
+                _ = np.asarray(t)
+            dt = min(dt, time.perf_counter() - t0)
+            g, r = measure_baseline_once(corpus_path)
+            if g is not None:
+                base_gbps = g if base_gbps is None else max(base_gbps, g)
+                base_ratio = r
+        # bit-exact round-trip spot-check on the first batch
+        ww, tt = np.asarray(outs[0][0]), np.asarray(outs[0][1])
+        for k in range(BATCH):
+            stream = device_stream_to_bytes(ww[k], tt[k])
+            assert zlib.decompressobj(-15).decompress(stream) \
+                == bufs[k].tobytes()
+        comp_all = sum(
+            int(np.sum((np.asarray(t) + 7) // 8)) for _, t in outs
+        )
+        results[name] = (nbytes / dt / 1e9, comp_all / nbytes)
+        print(f"tier {name}: {nbytes/dt/1e9:.4f} GB/s ratio "
+              f"{comp_all/nbytes:.4f}", file=sys.stderr)
 
-    comp_all = sum(
-        int(np.sum((np.asarray(t) + 7) // 8)) for _, t in outs
-    )
-    our_ratio = comp_all / nbytes
+    ref_ratio = base_ratio if base_ratio is not None \
+        else FALLBACK_BASELINE_RATIO
+    qualifying = {k: v for k, v in results.items() if v[1] <= ref_ratio}
+    pool = qualifying or results
+    pick = max(pool, key=lambda k: pool[k][0])
+    gbps, our_ratio = results[pick]
 
     if base_gbps is None:
         # Make the stale-baseline case impossible to miss: the JSON line
@@ -200,6 +217,7 @@ def main() -> None:
                 "vs_baseline": round(gbps / base_gbps, 4),
                 "ratio": round(our_ratio, 4),
                 "baseline_ratio": round(base_ratio, 4),
+                "tier": pick,
             }
         )
     )

@@ -54,6 +54,7 @@ import numpy as np
 from .tpu_pipeline import (
     MAX_LEN,
     _greedy_commit,
+    _greedy_commit_merge,
     _length_slot,
     _offset_slot,
     _parse_candidates,
@@ -282,37 +283,9 @@ def _dp_parse(cost_lit, lenA, dA, cdA, lenB, dB, cdB, lenC, dC, cdC,
     return span, dist
 
 
-def _merge_splits(span, dist, S: int, reps: int = 2):
-    """Coalesce ladder-truncation splits: when the DP's choice at t is a
-    match (f, d) and its path successor at t+f is a match with the SAME
-    distance, the two items are one physical match the fixed length
-    ladder split (the reference's per-length DP never splits these —
-    deflate_compress.c:3327-3399).  Merging re-wins the second item's
-    length+distance symbols (~14 bits/pair; measured 1.4K pairs/MiB on
-    text, 5.7K on records).  One [n] gather per rep — quality tiers only.
-    Merges never cross DP segment ends (the commit FSM is per-segment).
-    """
-    n = span.shape[0]
-    t_in_seg = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0] % S
-    packed = (span << 16) | dist
-    for _ in range(reps):
-        is_m = (span >= 3) & (dist > 0)
-        nxt = jnp.clip(jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-                       + span, 0, n - 1)
-        pn = jnp.take(packed, nxt)
-        span2 = pn >> 16
-        dist2 = pn & 0xFFFF
-        can = (is_m & (dist2 == dist) & (span2 >= 3)
-               & (span + span2 <= MAX_LEN)
-               & (t_in_seg + span + span2 <= S))
-        span = jnp.where(can, span + span2, span)
-        packed = (span << 16) | dist
-    return span
-
-
 def _commit(span, dist, pos, length, S_eff):
     is_match = (span >= 3) & (dist > 0)
-    committed, eff = _greedy_commit(span, is_match, S_eff)
+    committed, eff = _greedy_commit_merge(span, is_match, dist, S_eff)
     live = pos < length
     commit_match = committed & (eff >= 3) & live
     commit_lit = committed & (eff < 3) & live
@@ -372,7 +345,6 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
         cost_lit, lenA, dA, cdA, lenB, dB, cdB, lenC, dC, cdC, d3, cd3,
         lc_len, S_eff
     )
-    span = _merge_splits(span, dist, S_eff)
     commit_match, commit_lit, eff = _commit(span, dist, pos, length, S_eff)
 
     for _ in range(passes - 1):
@@ -392,7 +364,6 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
             cost_lit, lenA, dA, dc(dA), lenB, dB, dc(dB), lenC, dC,
             dc(dC), d3, dc(d3), lc_len, S_eff
         )
-        span = _merge_splits(span, dist, S_eff)
         commit_match, commit_lit, eff = _commit(span, dist, pos, length,
                                                 S_eff)
     return bp, pos, commit_match, commit_lit, eff, dist
@@ -487,7 +458,6 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
         cost_lit, lenA, dA, cdA, lenB, dB, cdB, lenC, dC, cdC, d3, cd3,
         lc_len, S=S_eff, interpret=interpret,
     )
-    span = jax.vmap(lambda sp, di: _merge_splits(sp, di, S_eff))(span, dist)
     commit_match, commit_lit, eff = jax.vmap(
         lambda s, d, p, l: _commit(s, d, p, l, S_eff)
     )(span, dist, pos, lengths)
@@ -513,8 +483,6 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
             dcv(dB, dcost_tab), lenC, dC, dcv(dC, dcost_tab), d3,
             dcv(d3, dcost_tab), lc_len, S=S_eff, interpret=interpret,
         )
-        span = jax.vmap(lambda sp, di: _merge_splits(sp, di, S_eff))(span,
-                                                                     dist)
         commit_match, commit_lit, eff = jax.vmap(
             lambda s, d, p, l: _commit(s, d, p, l, S_eff)
         )(span, dist, pos, lengths)

@@ -593,6 +593,63 @@ def _greedy_commit(span: jax.Array, is_match: jax.Array, seg: int):
     return commits.T.reshape(n), effs.T.reshape(n)
 
 
+def _greedy_commit_merge(span: jax.Array, is_match: jax.Array,
+                         dist: jax.Array, seg: int):
+    """Commit FSM with same-distance run coalescing, gather-free.
+
+    Like _greedy_commit, but when consecutive committed matches share a
+    distance (the ladder/LCP-cap split pattern — one physical match
+    reported as several items), the later items are absorbed: the FSM
+    carries the pending run (dist, budget) and flags absorbed item heads
+    at their own step; the merged span at each surviving head is then
+    next_boundary_after(t) - t, computed with a reverse log-shift min
+    (items tile the segment, so the next head IS the merged end).  Saves
+    ~14 bits per absorbed item (measured 1.4K/MiB text, 5.7K/MiB
+    records); the 258 cap and segment bounds are enforced in the carry.
+    Returns (committed mask, merged eff) per position."""
+    n = span.shape[0]
+    m = n // seg
+    span_t = span.reshape(m, seg).T          # [seg, m]
+    match_t = is_match.reshape(m, seg).T
+    dist_t = dist.reshape(m, seg).T
+    remaining = jnp.arange(seg, 0, -1, dtype=jnp.int32)
+
+    def step(carry, xs):
+        e, pdist, pbud = carry
+        sp, im, dd, rem = xs
+        commit = e == 0
+        trunc = jnp.minimum(sp, rem)
+        is_m = im & (trunc >= 3)
+        eff = jnp.where(is_m, trunc, 1)
+        absorb = (commit & is_m & (pdist == dd) & (pdist > 0)
+                  & (pbud + eff <= MAX_LEN))
+        pdist_new = jnp.where(absorb, pdist, jnp.where(is_m, dd, 0))
+        pbud_new = jnp.where(absorb, pbud + eff, jnp.where(is_m, eff, 0))
+        pdist = jnp.where(commit, pdist_new, pdist)
+        pbud = jnp.where(commit, pbud_new, pbud)
+        e = jnp.where(commit, eff - 1, e - 1)
+        return (e, pdist, pbud), (commit & ~absorb, eff)
+
+    zm = jnp.zeros(m, jnp.int32)
+    _, (heads, effs) = jax.lax.scan(
+        step, (zm, zm, zm), (span_t, match_t, dist_t, remaining)
+    )
+    # next boundary strictly after t (reverse log-shift min over head
+    # positions; non-head tail defaults to the segment end)
+    tix = jax.lax.broadcasted_iota(jnp.int32, (seg, m), 0)
+    x = jnp.where(heads, tix, seg)
+    s2 = 1
+    while s2 < seg:
+        shifted = jnp.concatenate(
+            [x[s2:], jnp.full((s2, m), seg, jnp.int32)], axis=0)
+        x = jnp.minimum(x, shifted)
+        s2 *= 2
+    nb_after = jnp.concatenate(
+        [x[1:], jnp.full((1, m), seg, jnp.int32)], axis=0)
+    eff_m = jnp.where(heads, nb_after - tix, effs)
+    return heads.T.reshape(n), eff_m.T.reshape(n)
+
+
 def _exclusive_bit_offsets(nb: jax.Array):
     """Exclusive prefix sum of per-position bit counts via exact triangular
     f32 matmuls on the MXU (values < 2^24 throughout: total stream bits are
@@ -839,7 +896,7 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
         is_match = is_match & ~defer
         span = jnp.where(is_match, span, 1)
 
-    committed, eff = _greedy_commit(span, is_match, fsm_seg)
+    committed, eff = _greedy_commit_merge(span, is_match, dist, fsm_seg)
     commit_match = committed & (eff >= 3) & live
     commit_lit = committed & (eff < 3) & live
     return bp, pos, commit_match, commit_lit, eff, dist
