@@ -103,7 +103,7 @@ _LADDER_COSTS = _ladder_costs()
 
 
 def _literal_costs(bp: jax.Array, length: jax.Array, n_pad: int,
-                   table: jax.Array | None = None):
+                   table: jax.Array | None = None, cache=None):
     """Per-position literal cost (1/16-bit units) from the chunk's byte
     histogram, via one byte-alphabet segment sort: the sort yields the
     histogram (searchsorted boundaries) AND the per-position cost
@@ -111,11 +111,16 @@ def _literal_costs(bp: jax.Array, length: jax.Array, n_pad: int,
 
     With ``table`` (a [256] i32 cost table, e.g. real code lengths * 16),
     the histogram entropy seeding is skipped and bytes translate through
-    the given costs instead."""
+    the given costs instead.  ``cache`` (returned as the second output)
+    carries the sorted keys across cost passes — the byte array never
+    changes, only the table does, so iterated refinement pays the sort
+    once."""
     seg = _sym_seg(n_pad)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0]
-    sym = jnp.where(pos < length, bp.astype(jnp.int32), 256)
-    sk, starts, hist = _sort_syms(sym, seg, nsym=257)
+    if cache is None:
+        pos = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0]
+        sym = jnp.where(pos < length, bp.astype(jnp.int32), 256)
+        cache = _sort_syms(sym, seg, nsym=257)
+    sk, starts, hist = cache
     if table is None:
         h = hist[:256]
         total = jnp.maximum(jnp.sum(h), 1).astype(jnp.float32)
@@ -126,7 +131,7 @@ def _literal_costs(bp: jax.Array, length: jax.Array, n_pad: int,
     else:
         cost = jnp.where(table > 0, table, 14 * BIT).astype(jnp.int32)
     table_full = jnp.concatenate([cost, jnp.zeros(1, jnp.int32)])
-    return _translate(sk, starts, table_full, seg, nsym=257)
+    return _translate(sk, starts, table_full, seg, nsym=257), cache
 
 
 def _dist_cost(dist: jax.Array) -> jax.Array:
@@ -334,7 +339,7 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
     n_pad = bp.shape[0]
     S_eff = S if (n_pad % S == 0 and n_pad >= S) else n_pad
 
-    cost_lit = _literal_costs(bp, length, n_pad)
+    cost_lit, lit_cache = _literal_costs(bp, length, n_pad)
     cdA = _dist_cost(dA)
     cdB = _dist_cost(dB)
     cdC = _dist_cost(dC)
@@ -351,8 +356,8 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
         lit_lens, dist_lens = _code_lens_from_items(
             bp, commit_match, commit_lit, eff, dist, n_pad)
         # literal costs: translate each byte through the real lens
-        cost_lit = _literal_costs(
-            bp, length, n_pad, table=lit_lens[:256] * BIT)
+        cost_lit, _ = _literal_costs(
+            bp, length, n_pad, table=lit_lens[:256] * BIT, cache=lit_cache)
         lc_len = _lc_len_from_lens(lit_lens)
         dcost_tab = jnp.where(dist_lens > 0, dist_lens, 14) * BIT
 
@@ -440,11 +445,12 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
             b, length, depth=depth, two_pass=two_pass, hash3=hash3,
             wide_window=not (two_pass or hash3),
         )
-        cost_lit = _literal_costs(bp, length, bp.shape[0])
-        return bp, pos, cost_lit, lenA, dA, lenB, dB, lenC, dC, d3
+        cost_lit, lit_cache = _literal_costs(bp, length, bp.shape[0])
+        return (bp, pos, cost_lit, lenA, dA, lenB, dB, lenC, dC, d3,
+                lit_cache)
 
-    (bp, pos, cost_lit, lenA, dA, lenB, dB, lenC, dC,
-     d3) = jax.vmap(cand)(bufs, lengths)
+    (bp, pos, cost_lit, lenA, dA, lenB, dB, lenC, dC, d3,
+     lit_cache) = jax.vmap(cand)(bufs, lengths)
     n_pad = bp.shape[1]
     S_eff = DP_SEG if (n_pad % DP_SEG == 0 and n_pad >= DP_SEG) else n_pad
 
@@ -467,8 +473,9 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
             lambda *a: _code_lens_from_items(*a, n_pad)
         )(bp, commit_match, commit_lit, eff, dist)
         cost_lit = jax.vmap(
-            lambda b, l, t: _literal_costs(b, l, n_pad, table=t)
-        )(bp, lengths, lit_lens[:, :256] * BIT)
+            lambda b, l, t, c: _literal_costs(b, l, n_pad, table=t,
+                                              cache=c)[0]
+        )(bp, lengths, lit_lens[:, :256] * BIT, lit_cache)
         lc_len = jax.vmap(_lc_len_from_lens)(lit_lens)   # [B, 259]
         dcost_tab = jnp.where(dist_lens > 0, dist_lens, 14) * BIT
 
