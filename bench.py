@@ -8,11 +8,14 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N,
    "ratio": R, "baseline_ratio": R}
 
-The benchmarked path is the TPU dynamic-Huffman compressor (the level-6
-quality tier: single-pass 64K-segment matchfinding); vs_baseline compares against libdeflate -6
-single-core compress throughput measured live on the same corpus/host
-(reference built on demand under /tmp/refbuild, else a recorded
-constant).  ratio/baseline_ratio record compressed fraction of input so
+The bench measures several device tiers (fast dynamic-Huffman and the
+two-pass min-cost-DP tier, each with XLA and Pallas bit-pack variants)
+and reports the fastest one whose ratio beats the live libdeflate -6
+baseline, else the fastest overall; the chosen tier rides the JSON line.
+vs_baseline compares against libdeflate -6 single-core compress
+throughput measured live on the same corpus/host (reference built on
+demand under /tmp/refbuild, else a recorded constant with a loud stderr
+warning).  ratio/baseline_ratio record compressed fraction of input so
 the speed comparison carries its quality context.
 """
 
@@ -147,6 +150,7 @@ def main() -> None:
     tiers = [
         ("dyn1-pallas", getattr(td, "compress_chunks_dynamic_pallas", None)),
         ("dyn1", td.compress_chunks_dynamic),
+        ("opt2-pallas", getattr(to, "compress_chunks_optimal2_pallas", None)),
         ("opt2", to.compress_chunks_optimal2),
     ]
     import zlib

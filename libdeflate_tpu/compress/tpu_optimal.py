@@ -518,6 +518,17 @@ def compress_chunks_optimal_pallas(bufs, lengths, bfinal, interpret=False):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
+def compress_chunks_optimal2_pallas(bufs, lengths, bfinal, interpret=False):
+    """Two-cost-pass DP tier (single-pass candidates) with Pallas
+    kernels — the bench headline candidate (ratio beats libdeflate -6 on
+    the CPU sample)."""
+    return _compress_chunks_optimal_pallas(
+        bufs, lengths, bfinal, depth=6, two_pass=False, hash3=False,
+        passes=2, interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def compress_chunks_optimal_deep_pallas(bufs, lengths, bfinal, interpret=False):
     """Deep DP tier (rescue pass + hash3 + 12-deep, 2 cost passes) with
     Pallas kernels."""
