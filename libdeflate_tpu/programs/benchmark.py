@@ -84,6 +84,36 @@ def make_engines(level: int, fmt: str):
 
     decomp["ours-tpu"] = _tpu_d
 
+    def _pallas_d(blob, out_size):
+        # scalar-core Pallas decoder (decompress/pallas_decode.py)
+        import numpy as np
+
+        from ..decompress import pallas_decode as pd
+        from ..formats import gzip_fmt, zlib_fmt
+
+        if fmt == "zlib":
+            if zlib_fmt.parse_header(blob) is None:
+                raise ValueError("bad zlib header")
+            body = blob[2:-4]
+        elif fmt == "gzip":
+            hdr = gzip_fmt.parse_header(blob)
+            if hdr is None:
+                raise ValueError("bad gzip header")
+            body = blob[hdr:-8]
+        else:
+            body = blob
+        import jax
+
+        outs, status = pd.decompress_chunks_pallas_host(
+            [body], [out_size],
+            interpret=jax.default_backend() == "cpu",
+        )
+        if status[0] != 0:
+            raise ValueError(f"pallas decompress failed: {status[0]}")
+        return outs[0]
+
+    decomp["ours-pallas"] = _pallas_d
+
     zlevel = min(max(level, 0), 9)
     if fmt == "deflate":
         comp["zlib"] = lambda data: (
