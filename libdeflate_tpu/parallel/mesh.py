@@ -43,17 +43,23 @@ def _chunk_compressor(level: int):
     per-level impl table, lib/deflate_compress.c:3927-4013):
     1 -> static-code greedy (fastest); 2-6 -> dynamic Huffman
     (single-pass 64K-segment window, avg 24K history); 7 -> + full-window
-    rescue pass; >= 8 -> + 4-deep probes + len-3 matches."""
+    rescue pass; 8-9 -> min-cost DP with two cost passes (beats
+    libdeflate -6 on ratio); 10-12 -> + deep/content candidates, len-3
+    matches (the near-optimal analogue)."""
     if level <= 1:
         return compress_chunk_static
     from ..compress.tpu_dynamic import (
         compress_chunk_dynamic,
         compress_chunk_dynamic2,
-        compress_chunk_dynamic3,
     )
+    from ..compress.tpu_optimal import compress_chunk_optimal
 
+    if level >= 10:
+        return lambda b, l, f: compress_chunk_optimal(
+            b, l, f, depth=12, two_pass=True, hash3=True, passes=2
+        )
     if level >= 8:
-        return compress_chunk_dynamic3
+        return lambda b, l, f: compress_chunk_optimal(b, l, f, passes=2)
     return compress_chunk_dynamic2 if level >= 7 else compress_chunk_dynamic
 
 
