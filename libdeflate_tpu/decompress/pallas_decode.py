@@ -41,8 +41,13 @@ Entry format (i32, this module's own — decode needs one load per symbol):
   bits 8..11  codeword length (to locate the extra field in the window)
   bits 12..13 kind: 0 literal, 1 base payload (length/offset), 2 EOB/bad,
               3 subtable pointer (payload = subtable start, len = width)
-  bits 16..30 payload (literal byte / base value / subtable start)
-A `kind 2` entry with payload 1 marks an invalid codeword.
+  bit 14      two-literal flag (kind 0 only): payload byte2 in bits 24..31
+  bits 16..23 payload (literal byte / base value / subtable start; base
+              and subtable payloads extend through bit 30)
+A `kind 2` entry with payload 1 marks an invalid codeword.  Two-literal
+entries fold a fully-determined literal pair into one lookup (the native
+decoder's pairing pass, native/ldtpu_native.cpp) — the scalar loop's cost
+is dominated by table probes, so pairs ~halve literal-heavy decode.
 """
 
 from __future__ import annotations
@@ -304,6 +309,35 @@ def _build_table_scalar(lens_ref, lens_off, nsyms, table_bits, table_ref,
         _, _, ok = jax.lax.while_loop(
             sub_cond, sub_body,
             (jnp.int32(0), jnp.int32(1 << table_bits), jnp.int32(1)))
+
+        if role == 1:
+            # two-literal pairing: descending index order guarantees the
+            # second lookup (idx >> l1 < idx) reads an unmodified entry
+            def pair(kk, _):
+                idx = (1 << table_bits) - 1 - kk
+                e1 = table_ref[idx]
+                k1 = _shr(e1, 12) & 3
+                l1 = e1 & 0xFF
+
+                @pl.when((k1 == K_LIT) & (l1 >= 1) & (l1 < table_bits)
+                         & ((_shr(e1, 14) & 1) == 0))
+                def _():
+                    e2 = table_ref[_shr(idx, l1)]
+                    k2 = _shr(e2, 12) & 3
+                    l2 = e2 & 0xFF
+                    pair_ok = ((k2 == K_LIT) & ((_shr(e2, 14) & 1) == 0)
+                               & (l1 + l2 <= table_bits))
+
+                    @pl.when(pair_ok)
+                    def _():
+                        table_ref[idx] = (
+                            (_shr(e2, 16) << 24)
+                            | (_shr(e1, 16) << 16)
+                            | (1 << 14) | (K_LIT << 12)
+                            | (l1 + l2)
+                        )
+                return 0
+            jax.lax.fori_loop(0, 1 << table_bits, pair, 0)
         return ok
 
     over = space > (1 << 15)
@@ -554,13 +588,23 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
                     _shr(tt2, 5) > in_words + STAGE_W, BAD_DATA, stt)
 
                 def lit_case(tt3, bb3, oo3, stt3):
-                    ring_write(oo3, payload)
+                    ring_write(oo3, payload & 0xFF)
                     oo4 = oo3 + 1
 
                     @pl.when((oo4 & (RING_W * 4 - 1)) == 0)
                     def _():
                         flush(oo4)
-                    return tt3, bb3, oo4, stt3, jnp.int32(0)
+                    two = (_shr(e, 14) & 1) == 1
+
+                    @pl.when(two)
+                    def _():
+                        ring_write(oo4, _shr(e, 24) & 0xFF)
+
+                    @pl.when(two & (((oo4 + 1) & (RING_W * 4 - 1)) == 0))
+                    def _():
+                        flush(oo4 + 1)
+                    oo5 = oo4 + jnp.where(two, 1, 0)
+                    return tt3, bb3, oo5, stt3, jnp.int32(0)
 
                 def eob_case(tt3, bb3, oo3, stt3):
                     stt4 = jnp.where(payload != 0, BAD_DATA, stt3)
@@ -603,8 +647,9 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
                         0, jnp.where(bad, 0, length), copy, (oo3, 0))
                     return tt4, bb4, oo6, stt4, jnp.int32(0)
 
-                # literal overrun guard (known-size mode)
-                over_lit = (kind == K_LIT) & (oo + 1 > olen)
+                # literal overrun guard (known-size mode; pairs emit 2)
+                n_emit = 1 + (_shr(e, 14) & 1)
+                over_lit = (kind == K_LIT) & (oo + n_emit > olen)
                 stt = jnp.where(over_lit, BAD_DATA, stt)
                 tt2b, bb2b, oo2, stt2, eob2 = jax.lax.switch(
                     kind, [lit_case, match_case, eob_case, eob_case],
