@@ -110,27 +110,50 @@ def measure_baseline_once(corpus_path: str, level: int = LEVEL):
         return None, None
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
+TIER_NAMES = ["dyn1-pallas", "dyn1", "opt2-pallas", "opt2"]
+TIER_TIMEOUT_S = 900
 
-    import libdeflate_tpu as ld
+
+def _tier_fn(name):
     from libdeflate_tpu.compress import tpu_dynamic as td
     from libdeflate_tpu.compress import tpu_optimal as to
+
+    return {
+        "dyn1-pallas": getattr(td, "compress_chunks_dynamic_pallas", None),
+        "dyn1": td.compress_chunks_dynamic,
+        "opt2-pallas": getattr(to, "compress_chunks_optimal2_pallas", None),
+        "opt2": to.compress_chunks_optimal2,
+    }[name]
+
+
+def run_tier(name: str) -> None:
+    """Subprocess mode: measure one tier, print `TIER <gbps> <ratio>`.
+
+    Run per tier under a parent-side timeout so a kernel that hangs on an
+    unexpected stack cannot take the whole benchmark down with it."""
+    import zlib
+
+    import jax
+
+    # honor an explicit CPU request even under the axon terminal plugin,
+    # whose sitecustomize forces the platform programmatically (matches
+    # tests/conftest.py) — used for smoke-testing the bench off-relay
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
     from libdeflate_tpu.compress.tpu_pipeline import device_stream_to_bytes
 
+    fn = _tier_fn(name)
+    if fn is None:
+        print("TIER unavailable")
+        return
     corpus = make_corpus()
-    corpus_path = "/tmp/benchdata_corpus.bin"
-    with open(corpus_path, "wb") as f:
-        f.write(corpus)
-
-    n = len(corpus)
-    nchunks = n // CHUNK
+    nchunks = len(corpus) // CHUNK
     bufs = np.frombuffer(corpus[: nchunks * CHUNK], dtype=np.uint8).reshape(
         nchunks, CHUNK
     )
     lengths = np.full(nchunks, CHUNK, dtype=np.int32)
-
     dev = jax.devices()[0]
     batches = []
     for i in range(0, nchunks - BATCH + 1, BATCH):
@@ -141,65 +164,71 @@ def main() -> None:
                 jax.device_put(jnp.zeros(BATCH, bool), dev),
             )
         )
+    outs = [fn(*b) for b in batches]
+    for _, t in outs:
+        _ = np.asarray(t)
+    dt = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        outs = [fn(*b) for b in batches]
+        for _, t in outs:
+            _ = np.asarray(t)
+        dt = min(dt, time.perf_counter() - t0)
+    ww, tt = np.asarray(outs[0][0]), np.asarray(outs[0][1])
+    for k in range(BATCH):
+        stream = device_stream_to_bytes(ww[k], tt[k])
+        assert zlib.decompressobj(-15).decompress(stream) \
+            == bufs[k].tobytes()
+    nbytes = len(batches) * BATCH * CHUNK
+    comp_all = sum(int(np.sum((np.asarray(t) + 7) // 8)) for _, t in outs)
+    print(f"TIER {nbytes / dt / 1e9:.6f} {comp_all / nbytes:.6f}")
 
-    # Candidate tiers, fastest first.  Pallas variants are preferred;
-    # each falls back transparently if the kernel path fails on this
-    # stack.  The reported tier is the FASTEST one whose ratio beats the
-    # live baseline's; if none does, the fastest overall is reported
-    # (ratio context always included in the JSON line).
-    tiers = [
-        ("dyn1-pallas", getattr(td, "compress_chunks_dynamic_pallas", None)),
-        ("dyn1", td.compress_chunks_dynamic),
-        ("opt2-pallas", getattr(to, "compress_chunks_optimal2_pallas", None)),
-        ("opt2", to.compress_chunks_optimal2),
-    ]
-    import zlib
+
+def main() -> None:
+    corpus = make_corpus()
+    corpus_path = "/tmp/benchdata_corpus.bin"
+    with open(corpus_path, "wb") as f:
+        f.write(corpus)
 
     build_reference()
-    nbytes = len(batches) * BATCH * CHUNK
     results = {}
     base_gbps, base_ratio = None, None
-    for name, fn in tiers:
-        if fn is None:
-            continue
+    for name in TIER_NAMES:
         try:
-            outs = [fn(*b) for b in batches]
-            for _, t in outs:
-                _ = np.asarray(t)
-        except Exception as e:  # kernel unsupported on this stack
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--tier", name],
+                capture_output=True, text=True, timeout=TIER_TIMEOUT_S,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            tier_lines = [l for l in out.stdout.splitlines()
+                          if l.startswith("TIER")]
+            parts = tier_lines[-1].split() if tier_lines else []
+            if len(parts) == 3:
+                results[name] = (float(parts[1]), float(parts[2]))
+                print(f"tier {name}: {parts[1]} GB/s ratio {parts[2]}",
+                      file=sys.stderr)
+            else:
+                err_tail = out.stderr.strip().splitlines()[-1:] or ["?"]
+                print(f"tier {name}: failed ({err_tail[0]})",
+                      file=sys.stderr)
+        except Exception as e:
             print(f"tier {name} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
-            continue
-        dt = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            outs = [fn(*b) for b in batches]
-            for _, t in outs:
-                _ = np.asarray(t)
-            dt = min(dt, time.perf_counter() - t0)
-            g, r = measure_baseline_once(corpus_path)
-            if g is not None:
-                base_gbps = g if base_gbps is None else max(base_gbps, g)
-                base_ratio = r
-        # bit-exact round-trip spot-check on the first batch
-        ww, tt = np.asarray(outs[0][0]), np.asarray(outs[0][1])
-        for k in range(BATCH):
-            stream = device_stream_to_bytes(ww[k], tt[k])
-            assert zlib.decompressobj(-15).decompress(stream) \
-                == bufs[k].tobytes()
-        comp_all = sum(
-            int(np.sum((np.asarray(t) + 7) // 8)) for _, t in outs
-        )
-        results[name] = (nbytes / dt / 1e9, comp_all / nbytes)
-        print(f"tier {name}: {nbytes/dt/1e9:.4f} GB/s ratio "
-              f"{comp_all/nbytes:.4f}", file=sys.stderr)
+        # interleave baseline samples with tier runs (same host-load mix)
+        g, r = measure_baseline_once(corpus_path)
+        if g is not None:
+            base_gbps = g if base_gbps is None else max(base_gbps, g)
+            base_ratio = r
+
+    if not results:
+        print("FATAL: every tier failed", file=sys.stderr)
 
     ref_ratio = base_ratio if base_ratio is not None \
         else FALLBACK_BASELINE_RATIO
     qualifying = {k: v for k, v in results.items() if v[1] <= ref_ratio}
     pool = qualifying or results
-    pick = max(pool, key=lambda k: pool[k][0])
-    gbps, our_ratio = results[pick]
+    pick = max(pool, key=lambda k: pool[k][0]) if pool else "none"
+    gbps, our_ratio = results.get(pick, (0.0, 1.0))
 
     if base_gbps is None:
         # Make the stale-baseline case impossible to miss: the JSON line
@@ -228,4 +257,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--tier":
+        run_tier(sys.argv[2])
+    else:
+        main()
