@@ -150,6 +150,27 @@ def fuzz_device(rng: np.random.Generator) -> None:
         stream = device_stream_to_bytes(np.asarray(w)[0], int(np.asarray(t)[0]))
         assert zlib.decompressobj(-15).decompress(stream) == data
 
+    # the scalar-core Pallas decoder on a zlib-produced stream (interpret
+    # on CPU backends; compiled on a chip) + a corrupt variant
+    from libdeflate_tpu.decompress.pallas_decode import (
+        decompress_chunks_pallas_host,
+    )
+    import jax
+
+    interp = jax.default_backend() == "cpu"
+    c = zlib.compressobj(6, zlib.DEFLATED, -15)
+    stream = c.compress(data) + c.flush()
+    outs, status = decompress_chunks_pallas_host(
+        [stream], [len(data)], interpret=interp
+    )
+    assert status[0] == 0 and outs[0] == data
+    if len(stream) > 8:
+        bad = bytearray(stream)
+        bad[int(rng.integers(0, len(bad)))] ^= 1 << int(rng.integers(0, 8))
+        decompress_chunks_pallas_host(
+            [bytes(bad)], [len(data)], interpret=interp
+        )  # must terminate with a status, never hang or crash
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
