@@ -193,7 +193,7 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
                       w8: jax.Array | None, w12: jax.Array | None, seg: int,
                       depth: int = 2, wide_ext: bool = False,
                       return_pair: bool = False,
-                      return_triple: bool = False):
+                      return_triple: bool = False, wide=None):
     """Nearest (and second-nearest) previous same-hash candidates per
     position via ONE batched segment sort carrying the position's own 16
     bytes as payloads; the LCP is byte-exact up to 19: word-granular
@@ -211,9 +211,12 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
     ops = (key, w.reshape(m, seg), w4.reshape(m, seg))
     if deep:
         ops = ops + (w8.reshape(m, seg), w12.reshape(m, seg))
+        if wide is not None:
+            ops = ops + tuple(x.reshape(m, seg) for x in wide)
     sorted_ops = jax.lax.sort(ops, num_keys=1, dimension=1)
     sk, sw, sw4 = sorted_ops[:3]
     sw8, sw12 = (sorted_ops[3], sorted_ops[4]) if deep else (None, None)
+    swide = sorted_ops[5:] if deep else ()
     shash = sk >> jnp.uint32(pos_bits)
     slp = sk & jnp.uint32((1 << pos_bits) - 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (m, seg), 1)
@@ -249,8 +252,20 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
             eq12 = eq8 & (x2 == 0)
             eq16 = eq12 & (x3 == 0)
             mlen = mlen + eq12.astype(jnp.uint32) * 4 + eq16.astype(jnp.uint32) * 4
-            # byte remainder from the first unequal word (0 at full LCP-16)
-            x_sel = jnp.where(~eq8, x1, jnp.where(~eq12, x2, jnp.where(~eq16, x3, 0)))
+            xs_tail = [x1, x2, x3]
+            chain = [eq8, eq12, eq16]
+            e = eq16
+            for swk in swide:
+                xk = swk ^ jnp.roll(swk, d, axis=1)
+                eqk = e & (xk == 0)
+                mlen = mlen + eqk.astype(jnp.uint32) * 4
+                xs_tail.append(xk)
+                chain.append(eqk)
+                e = eqk
+            # byte remainder from the first unequal word (0 at full LCP)
+            x_sel = xs_tail[-1]
+            for k in range(len(xs_tail) - 2, -1, -1):
+                x_sel = jnp.where(~chain[k], xs_tail[k], x_sel)
         else:
             x_sel = jnp.where(~eq8, x1, 0)
         fine = jnp.where((x_sel != 0) & eq4, tz_bytes(x_sel), jnp.uint32(0))
@@ -337,7 +352,7 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
 
 def _content_sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
                               w8: jax.Array, w12: jax.Array, seg: int,
-                              depth: int = 6):
+                              depth: int = 6, wide=None):
     """Suffix-array-flavored candidate pass: sort segment positions by
     (hash, next-17-content-bits, position) so LEXICOGRAPHIC neighbors —
     the suffixes sharing the longest prefixes — sit adjacent, then probe
@@ -375,8 +390,11 @@ def _content_sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
     )
     ops = (k1, k2, lp, w.reshape(m, seg), w4.reshape(m, seg),
            w8.reshape(m, seg), w12.reshape(m, seg))
-    sk1, _, slp, sw, sw4, sw8, sw12 = jax.lax.sort(
-        ops, num_keys=3, dimension=1)
+    if wide is not None:
+        ops = ops + tuple(x.reshape(m, seg) for x in wide)
+    sorted_ops = jax.lax.sort(ops, num_keys=3, dimension=1)
+    sk1, _, slp, sw, sw4, sw8, sw12 = sorted_ops[:7]
+    swide = sorted_ops[7:]
     shash = sk1 >> jnp.uint32(17)
     col = jax.lax.broadcasted_iota(jnp.int32, (m, seg), 1)
 
@@ -411,8 +429,20 @@ def _content_sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
         eq12 = eq8 & (x2 == 0)
         eq16 = eq12 & (x3 == 0)
         mlen = mlen + eq12.astype(jnp.uint32) * 4 + eq16.astype(jnp.uint32) * 4
-        x_sel = jnp.where(~eq8, x1, jnp.where(~eq12, x2,
-                          jnp.where(~eq16, x3, 0)))
+        xs_tail = [x1, x2, x3]
+        chain = [eq8, eq12, eq16]
+        e = eq16
+        for swk in swide:
+            xk = swk ^ jnp.roll(swk, d, axis=1)
+            eqk = e & (xk == 0)
+            mlen = mlen + eqk.astype(jnp.uint32) * 4
+            xs_tail.append(xk)
+            chain.append(eqk)
+            e = eqk
+        # fine = trailing equal bytes of the first unequal word
+        x_sel = xs_tail[-1]
+        for k in range(len(xs_tail) - 2, -1, -1):
+            x_sel = jnp.where(~chain[k], xs_tail[k], x_sel)
         fine = jnp.where((x_sel != 0) & eq4, tz_bytes(x_sel), jnp.uint32(0))
         dist = jnp.where(eq4, dist_i.astype(jnp.uint32), jnp.uint32(0))
         return mlen, dist, fine
@@ -923,10 +953,18 @@ def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
     bp = jnp.pad(b, (0, n_pad - n))
     pos = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0]
 
-    words_u32 = _le32_words(bp, extra_pad=16)
+    words_u32 = _le32_words(bp, extra_pad=32)
     w4 = jnp.concatenate([words_u32[4:], jnp.zeros(4, jnp.uint32)])
     w8 = jnp.concatenate([words_u32[8:], jnp.zeros(8, jnp.uint32)])
     w12 = jnp.concatenate([words_u32[12:], jnp.zeros(12, jnp.uint32)])
+    # 32-byte direct LCP for the DP tiers: the relaxation chains recover
+    # most long matches, but same-dist continuation candidates are not
+    # always present downstream (periodic data at mixed strides) — the
+    # wider word payloads measure lengths to 35 outright
+    wide = tuple(
+        jnp.concatenate([words_u32[k:], jnp.zeros(k, jnp.uint32)])
+        for k in (16, 20, 24, 28)
+    )
 
     h = ((words_u32 * jnp.uint32(MULT)) >> jnp.uint32(32 - HASH_ORDER)).astype(
         jnp.uint32
@@ -934,13 +972,15 @@ def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
     h = jnp.where(pos + MIN_MATCH <= length, h, jnp.uint32(junk_val))
 
     rawA, rawB, rawC = _sorted_matchfind(
-        h, words_u32, w4, w8, w12, sort_seg, depth=depth, return_triple=True
+        h, words_u32, w4, w8, w12, sort_seg, depth=depth, return_triple=True,
+        wide=wide,
     )
     # content-ordered pass: lexicographic neighbors give the length-best
     # candidates the position-ordered probes need full bucket depth to
     # reach (the bt matchfinder's sorted-tree property)
     cA = _content_sorted_matchfind(
-        h, words_u32, w4, w8, w12, sort_seg, depth=max(depth * 2 // 3, 4)
+        h, words_u32, w4, w8, w12, sort_seg,
+        depth=max(depth * 2 // 3, 4), wide=wide,
     )
     rawD = cA[0:3]
     rawE = cA[3:6]
