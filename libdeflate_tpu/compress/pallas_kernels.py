@@ -275,7 +275,9 @@ def dp_parse_pallas(cost_lit, lenA, dA, cdA, lenB, dB, cdB, lenC, dC, cdC,
 def _pack_kernel(gw_ref, sbuf_ref, out_ref, *, GB: int):
     """OR group bit-buffers into the output words at their word offsets.
 
-    gw [1, GB] i32 (SMEM): absolute start word of each group (monotone).
+    gw [1, 1, 8, GB//8] i32 (SMEM): absolute start word of each group
+    (monotone; 4-D because Mosaic's block checker wants the last two
+    block dims equal to the array dims even for SMEM blocks).
     sbuf [1, GB, 128] u32: group buffers, zero past the real capw words.
     out [1, NROWS, 128] u32: one chunk's words, viewed 128 per row.
     Grid = (B, group blocks); grid iteration runs all group blocks of a
@@ -283,6 +285,7 @@ def _pack_kernel(gw_ref, sbuf_ref, out_ref, *, GB: int):
     and accumulated in place across gb.
     """
     gb = pl.program_id(1)
+    W = GB // 8
 
     @pl.when(gb == 0)
     def _():
@@ -291,7 +294,7 @@ def _pack_kernel(gw_ref, sbuf_ref, out_ref, *, GB: int):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
     def body(i, _):
-        o = gw_ref[0, i]
+        o = gw_ref[0, 0, i // W, i % W]
         r = o // 128
         l = o % 128
         srow = sbuf_ref[0, i][None, :]                # [1, 128]
@@ -324,12 +327,13 @@ def pack_groups_pallas(sbuf, gw, nwords: int, interpret: bool = False):
     sb = jnp.zeros((B, m_pad, 128), jnp.uint32).at[:, :m, :capw1].set(sbuf)
     # padded groups re-OR zeros at word 0 (harmless)
     gwp = jnp.zeros((B, m_pad), jnp.int32).at[:, :m].set(gw)
+    gwp = gwp.reshape(B, m_pad // GB, 8, GB // 8)
 
     out = pl.pallas_call(
         functools.partial(_pack_kernel, GB=GB),
         grid=(B, m_pad // GB),
         in_specs=[
-            pl.BlockSpec((1, GB), lambda b, gb: (b, gb),
+            pl.BlockSpec((1, 1, 8, GB // 8), lambda b, gb: (b, gb, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, GB, 128), lambda b, gb: (b, gb, 0),
                          memory_space=pltpu.VMEM),
