@@ -92,7 +92,8 @@ def _len_extra_scalar(f):
 
 
 def _dp_kernel(lc_ref, wl_ref, wa_ref, wb_ref, wc_ref, wd_ref, out_ref,
-               D_ref, *, S: int, TS: int, lanes_per_chunk: int):
+               D_ref, *, S: int, TS: int, lanes_per_chunk: int,
+               ladder=LEN_LADDER):
     """One reverse t-block of the backwards DP for one lane block.
 
     Refs: lc [B, 259] (SMEM) per-chunk per-length match costs; wl/wa/wb/wc
@@ -112,8 +113,8 @@ def _dp_kernel(lc_ref, wl_ref, wa_ref, wb_ref, wc_ref, wd_ref, out_ref,
 
     t_base = (n_tb - 1 - tb) * TS
     ci = jnp.minimum((lb * 1024) // lanes_per_chunk, lc_ref.shape[0] - 1)
-    # rung costs: 28 scalars, read once per grid step
-    rung_cost = [lc_ref[ci, f] for f in LEN_LADDER]
+    # rung costs: one scalar per rung, read once per grid step
+    rung_cost = [lc_ref[ci, f] for f in ladder]
 
     def body(k, _):
         tl = TS - 1 - k
@@ -141,7 +142,7 @@ def _dp_kernel(lc_ref, wl_ref, wa_ref, wb_ref, wc_ref, wd_ref, out_ref,
         bspan = jnp.ones_like(best)
         bdist = jnp.zeros_like(best)
 
-        for fi, f in enumerate(LEN_LADDER):
+        for fi, f in enumerate(ladder):
             Df = D_ref[(t + f) % S]
             okA = lA >= f
             okB = lB >= f
@@ -194,10 +195,10 @@ def _dp_kernel(lc_ref, wl_ref, wa_ref, wb_ref, wc_ref, wd_ref, out_ref,
     jax.lax.fori_loop(0, TS, body, 0, unroll=False)
 
 
-@functools.partial(jax.jit, static_argnames=("S", "interpret"))
+@functools.partial(jax.jit, static_argnames=("S", "interpret", "ladder"))
 def dp_parse_pallas(cost_lit, lenA, dA, cdA, lenB, dB, cdB, lenC, dC, cdC,
                     d3, cd3, lc_len, S: int = 1024,
-                    interpret: bool = False):
+                    interpret: bool = False, ladder=LEN_LADDER):
     """Backwards min-cost DP over independent S-position segments.
 
     Signature-parallel to tpu_optimal._dp_parse (batched): [B, n_pad]
@@ -243,7 +244,7 @@ def dp_parse_pallas(cost_lit, lenA, dA, cdA, lenB, dB, cdB, lenC, dC, cdC,
 
     out = pl.pallas_call(
         functools.partial(_dp_kernel, S=S, TS=TS,
-                          lanes_per_chunk=n_pad // S),
+                          lanes_per_chunk=n_pad // S, ladder=ladder),
         grid=(LB, n_tb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -77,6 +77,17 @@ from .tpu_dynamic import (
 LEN_LADDER = (3, 4, 5, 6, 7, 8, 9, 10, 12, 14, 16, 18, 22, 26, 30, 34,
               42, 50, 58, 66, 82, 98, 114, 130, 162, 194, 226, 258)
 
+# Dense ladder: every length 3..34 plus the extra-bit band tops above —
+# more rungs recover the truncation waste of the sparse ladder (emitting
+# any length is legal; slot/extra-bit encoding handles off-top lengths).
+# Costs scale the DP kernel's inner loop only (measured ~free on-chip).
+LEN_LADDER_DENSE = tuple(range(3, 35)) + (38, 42, 46, 50, 58, 66, 82, 98,
+                                          114, 130, 162, 194, 226, 258)
+# Denser still: every length through 66, then half-band steps
+LEN_LADDER_DENSE2 = tuple(range(3, 67)) + (74, 82, 90, 98, 106, 114, 122,
+                                           130, 146, 162, 178, 194, 210,
+                                           226, 242, 258)
+
 DP_SEG = 1024          # DP/commit segment (positions)
 _WIN = 512             # circular cost-window rows (>= 258 + 1, power of 2)
 BIT = 16               # cost unit = 1/16 bit (the reference's BIT_COST)
@@ -184,7 +195,7 @@ def _take30(table: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 def _dp_parse(cost_lit, lenA, dA, cdA, lenB, dB, cdB, lenC, dC, cdC,
-              d3, cd3, lc_len, S: int):
+              d3, cd3, lc_len, S: int, ladder=LEN_LADDER):
     """Backwards min-cost DP over independent S-position segments.
 
     All inputs are [n_pad] arrays; returns (span, dist) per position —
@@ -208,7 +219,7 @@ def _dp_parse(cost_lit, lenA, dA, cdA, lenB, dB, cdB, lenC, dC, cdC,
         rows(d3), rows(cd3),
     )
 
-    ladder = np.asarray(LEN_LADDER, np.int32)
+    ladder = np.asarray(ladder, np.int32)
 
     def step(W, x):
         t, clit, pA, cA, pB, cB, pC, cC, dd3, c3 = x
@@ -326,7 +337,8 @@ def _code_lens_from_items(bp, commit_match, commit_lit, eff, dist,
 def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
                         two_pass: bool = False, hash3: bool = False,
                         wide_window: bool = True, S: int = DP_SEG,
-                        passes: int = 1):
+                        passes: int = 1, use_content: bool = True,
+                        use_wide: bool = True, ladder=LEN_LADDER):
     """Candidate generation + cost seeding + DP + commit, optionally
     iterated: pass k >= 2 re-derives symbol costs from pass k-1's real
     code lengths and re-runs the DP (the reference's iterated cost
@@ -334,7 +346,7 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
     tuple contract as tpu_pipeline._parse_chunk."""
     bp, pos, lenA, dA, lenB, dB, lenC, dC, d3 = _parse_candidates(
         b, length, depth=depth, two_pass=two_pass, hash3=hash3,
-        wide_window=wide_window,
+        wide_window=wide_window, use_content=use_content, use_wide=use_wide,
     )
     n_pad = bp.shape[0]
     S_eff = S if (n_pad % S == 0 and n_pad >= S) else n_pad
@@ -348,7 +360,7 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
 
     span, dist = _dp_parse(
         cost_lit, lenA, dA, cdA, lenB, dB, cdB, lenC, dC, cdC, d3, cd3,
-        lc_len, S_eff
+        lc_len, S_eff, ladder=ladder
     )
     commit_match, commit_lit, eff = _commit(span, dist, pos, length, S_eff)
 
@@ -367,7 +379,7 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
 
         span, dist = _dp_parse(
             cost_lit, lenA, dA, dc(dA), lenB, dB, dc(dB), lenC, dC,
-            dc(dC), d3, dc(d3), lc_len, S_eff
+            dc(dC), d3, dc(d3), lc_len, S_eff, ladder=ladder
         )
         commit_match, commit_lit, eff = _commit(span, dist, pos, length,
                                                 S_eff)
@@ -376,17 +388,20 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
 
 def compress_chunk_optimal(b: jax.Array, length: jax.Array, bfinal: jax.Array,
                            depth: int = 6, two_pass: bool = False,
-                           hash3: bool = False, passes: int = 1):
+                           hash3: bool = False, passes: int = 1,
+                           use_content: bool = True, use_wide: bool = True,
+                           ladder=LEN_LADDER, refine_passes: int = 16):
     """Min-cost-DP dynamic-block chunk compressor; same output contract as
     compress_chunk_dynamic (byte-aligned fragment, sync flush)."""
     n = b.shape[0]
     bp, pos, commit_match, commit_lit, eff, dist = parse_chunk_optimal(
         b, length, depth=depth, two_pass=two_pass, hash3=hash3,
         wide_window=not (two_pass or hash3), passes=passes,
+        use_content=use_content, use_wide=use_wide, ladder=ladder,
     )
     return emit_dynamic_block(
         bp, bfinal, commit_match, commit_lit, eff, dist, n, bp.shape[0],
-        refine_passes=16,
+        refine_passes=refine_passes,
     )
 
 
@@ -428,9 +443,15 @@ def compress_chunks_optimal_deep(bufs: jax.Array, lengths: jax.Array,
 def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
                                     two_pass: bool, hash3: bool,
                                     passes: int = 1,
+                                    use_content: bool = True,
+                                    use_wide: bool = True,
+                                    ladder=LEN_LADDER,
+                                    refine: int = 16,
+                                    flat_lit1: bool = False,
                                     interpret: bool = False):
     from .pallas_kernels import dp_parse_pallas, pack_groups_pallas
     from .tpu_dynamic import (
+        DYN_CAPW,
         DYN_CAPW_DEEP,
         _dyn_nwords,
         _emit_dynamic_post,
@@ -443,7 +464,8 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
     def cand(b, length):
         bp, pos, lenA, dA, lenB, dB, lenC, dC, d3 = _parse_candidates(
             b, length, depth=depth, two_pass=two_pass, hash3=hash3,
-            wide_window=not (two_pass or hash3),
+            wide_window=not (two_pass or hash3), use_content=use_content,
+            use_wide=use_wide,
         )
         cost_lit, lit_cache = _literal_costs(bp, length, bp.shape[0])
         return (bp, pos, cost_lit, lenA, dA, lenB, dB, lenC, dC, d3,
@@ -452,6 +474,22 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
     (bp, pos, cost_lit, lenA, dA, lenB, dB, lenC, dC, d3,
      lit_cache) = jax.vmap(cand)(bufs, lengths)
     n_pad = bp.shape[1]
+    if flat_lit1:
+        # pass 1 runs on the MEAN literal cost (the byte sort still happens
+        # for the cache, which pass 2's exact translate reuses) — skips the
+        # pass-1 boundary-delta translate for ~2.5 ms/batch
+        def mean_cost(cache):
+            hist = cache[2][:256]
+            total = jnp.maximum(jnp.sum(hist), 1).astype(jnp.float32)
+            bits = jnp.log2(total) - jnp.log2(
+                jnp.maximum(hist, 1).astype(jnp.float32))
+            c = jnp.clip(jnp.round(BIT * bits).astype(jnp.int32),
+                         BIT, 15 * BIT)
+            m = jnp.sum(jnp.where(hist > 0, hist * c, 0)) // total.astype(
+                jnp.int32)
+            return m.astype(jnp.int32)
+        mc = jax.vmap(mean_cost)(lit_cache)
+        cost_lit = jnp.broadcast_to(mc[:, None], cost_lit.shape)
     S_eff = DP_SEG if (n_pad % DP_SEG == 0 and n_pad >= DP_SEG) else n_pad
 
     cdA = _dist_cost(dA)
@@ -462,7 +500,7 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
 
     span, dist = dp_parse_pallas(
         cost_lit, lenA, dA, cdA, lenB, dB, cdB, lenC, dC, cdC, d3, cd3,
-        lc_len, S=S_eff, interpret=interpret,
+        lc_len, S=S_eff, interpret=interpret, ladder=ladder,
     )
     commit_match, commit_lit, eff = jax.vmap(
         lambda s, d, p, l: _commit(s, d, p, l, S_eff)
@@ -489,6 +527,7 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
             cost_lit, lenA, dA, dcv(dA, dcost_tab), lenB, dB,
             dcv(dB, dcost_tab), lenC, dC, dcv(dC, dcost_tab), d3,
             dcv(d3, dcost_tab), lc_len, S=S_eff, interpret=interpret,
+            ladder=ladder,
         )
         commit_match, commit_lit, eff = jax.vmap(
             lambda s, d, p, l: _commit(s, d, p, l, S_eff)
@@ -497,9 +536,10 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
     def back(bp, commit_match, commit_lit, eff, dist, fin):
         (val, nb, offs), aux = _emit_dynamic_pre(
             bp, commit_match, commit_lit, eff, dist, bp.shape[0],
-            refine_passes=16,
+            refine_passes=refine,
         )
-        sbuf, gw = _group_premerge(val, nb, offs, capw=DYN_CAPW_DEEP)
+        capw = DYN_CAPW_DEEP if refine else DYN_CAPW
+        sbuf, gw = _group_premerge(val, nb, offs, capw=capw)
         return sbuf, gw, aux
 
     sbuf, gw, aux = jax.vmap(back)(
@@ -535,4 +575,17 @@ def compress_chunks_optimal_deep_pallas(bufs, lengths, bfinal, interpret=False):
     return _compress_chunks_optimal_pallas(
         bufs, lengths, bfinal, depth=12, two_pass=True, hash3=True,
         passes=2, interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def compress_chunks_optfast_pallas(bufs, lengths, bfinal, interpret=False):
+    """Lean two-cost-pass DP tier: position-pass candidates only (no
+    content pass, no 32-byte LCP payloads), dense length ladder, Pallas
+    DP + pack kernels — the speed-oriented quality tier tuned to beat the
+    libdeflate -6 ratio at the highest possible throughput."""
+    return _compress_chunks_optimal_pallas(
+        bufs, lengths, bfinal, depth=6, two_pass=False, hash3=False,
+        passes=2, use_content=False, use_wide=False,
+        ladder=LEN_LADDER_DENSE, interpret=interpret,
     )

@@ -934,7 +934,8 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
 
 def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
                       two_pass: bool = False, hash3: bool = False,
-                      wide_window: bool = True):
+                      wide_window: bool = True, use_content: bool = True,
+                      use_wide: bool = True):
     """Candidate generation for the min-cost DP parser: per-position best
     and runner-up (distinct-distance) match candidates, plus an optional
     len-3 short-offset candidate.  Same matchfind machinery as
@@ -946,7 +947,13 @@ def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
     Returns (bp, pos, lenA, distA, lenB, distB, lenC, distC, dist3) over
     the padded array; C is the nearest-occurrence candidate (minimum
     distance), lengths are clipped to the chunk tail, dist3 == 0 means no
-    len-3 candidate."""
+    len-3 candidate.
+
+    ``use_content`` gates the lexicographic (content-ordered) candidate
+    pass and its D/E pool entries; ``use_wide`` gates the 4 extra 16-byte
+    LCP sort payloads.  The speed-oriented DP tier turns both off (the
+    pass costs ~28 ms and the payloads ~6 ms per 4-chunk batch on-chip,
+    for ~0.08 and ~0.05 ratio points respectively)."""
     n = b.shape[0]
     n_pad, sort_seg, _ = _segment_sizes(n, wide=wide_window)
     junk_val = _seg_key_params(sort_seg)[1]
@@ -964,7 +971,7 @@ def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
     wide = tuple(
         jnp.concatenate([words_u32[k:], jnp.zeros(k, jnp.uint32)])
         for k in (16, 20, 24, 28)
-    )
+    ) if use_wide else None
 
     h = ((words_u32 * jnp.uint32(MULT)) >> jnp.uint32(32 - HASH_ORDER)).astype(
         jnp.uint32
@@ -975,16 +982,19 @@ def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
         h, words_u32, w4, w8, w12, sort_seg, depth=depth, return_triple=True,
         wide=wide,
     )
-    # content-ordered pass: lexicographic neighbors give the length-best
-    # candidates the position-ordered probes need full bucket depth to
-    # reach (the bt matchfinder's sorted-tree property)
-    cA = _content_sorted_matchfind(
-        h, words_u32, w4, w8, w12, sort_seg,
-        depth=max(depth * 2 // 3, 4), wide=wide,
-    )
-    rawD = cA[0:3]
-    rawE = cA[3:6]
-    ext = _chain_extend_multi([rawA, rawB, rawC, rawD, rawE])
+    if use_content:
+        # content-ordered pass: lexicographic neighbors give the length-best
+        # candidates the position-ordered probes need full bucket depth to
+        # reach (the bt matchfinder's sorted-tree property)
+        cA = _content_sorted_matchfind(
+            h, words_u32, w4, w8, w12, sort_seg,
+            depth=max(depth * 2 // 3, 4), wide=wide,
+        )
+        rawD = cA[0:3]
+        rawE = cA[3:6]
+        ext = _chain_extend_multi([rawA, rawB, rawC, rawD, rawE])
+    else:
+        ext = _chain_extend_multi([rawA, rawB, rawC])
 
     # pool selection: A = longest (ties: nearest), B = second-longest at a
     # distinct distance, C = nearest occurrence with len >= 4
