@@ -110,8 +110,14 @@ def measure_baseline_once(corpus_path: str, level: int = LEVEL):
         return None, None
 
 
-TIER_NAMES = ["dyn1-pallas", "dyn1", "opt2-pallas", "opt2"]
-TIER_TIMEOUT_S = 900
+# Measured in priority order; the combined subprocess runs them all with
+# one first-compile penalty (the relay charges ~5-10 min for the FIRST
+# compile in a process), and any tier that failed to report gets one
+# retry in its own subprocess.
+TIER_NAMES = ["lean1-pallas", "dyn1-pallas", "optfast-pallas", "dyn1",
+              "opt2"]
+TIER_TIMEOUT_S = 2400        # combined run (pays first-compile once)
+TIER_RETRY_TIMEOUT_S = 1500  # per-tier fallback subprocess
 
 
 def _tier_fn(name):
@@ -119,18 +125,19 @@ def _tier_fn(name):
     from libdeflate_tpu.compress import tpu_optimal as to
 
     return {
+        "lean1-pallas": getattr(to, "compress_chunks_lean_pallas", None),
         "dyn1-pallas": getattr(td, "compress_chunks_dynamic_pallas", None),
+        "optfast-pallas": getattr(to, "compress_chunks_optfast_pallas", None),
         "dyn1": td.compress_chunks_dynamic,
         "opt2-pallas": getattr(to, "compress_chunks_optimal2_pallas", None),
         "opt2": to.compress_chunks_optimal2,
     }[name]
 
 
-def run_tier(name: str) -> None:
-    """Subprocess mode: measure one tier, print `TIER <gbps> <ratio>`.
-
-    Run per tier under a parent-side timeout so a kernel that hangs on an
-    unexpected stack cannot take the whole benchmark down with it."""
+def run_tiers(names: list[str]) -> None:
+    """Subprocess mode: measure tiers, print one `TIER <name> <gbps>
+    <ratio>` line per tier as each finishes (so a later hang cannot
+    swallow earlier results)."""
     import zlib
 
     import jax
@@ -144,10 +151,6 @@ def run_tier(name: str) -> None:
 
     from libdeflate_tpu.compress.tpu_pipeline import device_stream_to_bytes
 
-    fn = _tier_fn(name)
-    if fn is None:
-        print("TIER unavailable")
-        return
     corpus = make_corpus()
     nchunks = len(corpus) // CHUNK
     bufs = np.frombuffer(corpus[: nchunks * CHUNK], dtype=np.uint8).reshape(
@@ -164,24 +167,36 @@ def run_tier(name: str) -> None:
                 jax.device_put(jnp.zeros(BATCH, bool), dev),
             )
         )
-    outs = [fn(*b) for b in batches]
-    for _, t in outs:
-        _ = np.asarray(t)
-    dt = float("inf")
-    for _ in range(4):
-        t0 = time.perf_counter()
-        outs = [fn(*b) for b in batches]
-        for _, t in outs:
-            _ = np.asarray(t)
-        dt = min(dt, time.perf_counter() - t0)
-    ww, tt = np.asarray(outs[0][0]), np.asarray(outs[0][1])
-    for k in range(BATCH):
-        stream = device_stream_to_bytes(ww[k], tt[k])
-        assert zlib.decompressobj(-15).decompress(stream) \
-            == bufs[k].tobytes()
-    nbytes = len(batches) * BATCH * CHUNK
-    comp_all = sum(int(np.sum((np.asarray(t) + 7) // 8)) for _, t in outs)
-    print(f"TIER {nbytes / dt / 1e9:.6f} {comp_all / nbytes:.6f}")
+    for name in names:
+        try:
+            fn = _tier_fn(name)
+            if fn is None:
+                print(f"TIERFAIL {name} unavailable", flush=True)
+                continue
+            outs = [fn(*b) for b in batches]
+            for _, t in outs:
+                _ = np.asarray(t)
+            dt = float("inf")
+            for _ in range(4):
+                t0 = time.perf_counter()
+                outs = [fn(*b) for b in batches]
+                for _, t in outs:
+                    _ = np.asarray(t)
+                dt = min(dt, time.perf_counter() - t0)
+            ww, tt = np.asarray(outs[0][0]), np.asarray(outs[0][1])
+            for k in range(BATCH):
+                stream = device_stream_to_bytes(ww[k], tt[k])
+                assert zlib.decompressobj(-15).decompress(stream) \
+                    == bufs[k].tobytes()
+            nbytes = len(batches) * BATCH * CHUNK
+            comp_all = sum(
+                int(np.sum((np.asarray(t) + 7) // 8)) for _, t in outs
+            )
+            print(f"TIER {name} {nbytes / dt / 1e9:.6f} "
+                  f"{comp_all / nbytes:.6f}", flush=True)
+        except Exception as e:  # keep measuring the remaining tiers
+            msg = f"{type(e).__name__}: {e}".replace("\n", " ")[:200]
+            print(f"TIERFAIL {name} {msg}", flush=True)
 
 
 def main() -> None:
@@ -193,26 +208,58 @@ def main() -> None:
     build_reference()
     results = {}
     base_gbps, base_ratio = None, None
+
+    def consume(stdout: str) -> list[str]:
+        got = []
+        for line in stdout.splitlines():
+            parts = line.split()
+            if len(parts) == 4 and parts[0] == "TIER":
+                results[parts[1]] = (float(parts[2]), float(parts[3]))
+                print(f"tier {parts[1]}: {parts[2]} GB/s ratio {parts[3]}",
+                      file=sys.stderr)
+                got.append(parts[1])
+            elif parts and parts[0] == "TIERFAIL":
+                print(f"tier {parts[1]}: failed ({' '.join(parts[2:])})",
+                      file=sys.stderr)
+        return got
+
+    # one combined subprocess first: pays the relay's first-compile
+    # penalty once and streams per-tier results as they finish
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--tiers",
+             ",".join(TIER_NAMES)],
+            capture_output=True, text=True, timeout=TIER_TIMEOUT_S,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        consume(out.stdout)
+    except subprocess.TimeoutExpired as e:
+        consume((e.stdout or b"").decode() if isinstance(e.stdout, bytes)
+                else (e.stdout or ""))
+        print("combined tier run timed out; retrying missing tiers",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"combined tier run failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    g, r = measure_baseline_once(corpus_path)
+    if g is not None:
+        base_gbps, base_ratio = g, r
+
+    # retry any missing tier in its own subprocess (isolates hangs);
+    # stop early once a ratio-qualifying result and a faster tier exist
     for name in TIER_NAMES:
+        if name in results:
+            continue
         try:
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--tier", name],
-                capture_output=True, text=True, timeout=TIER_TIMEOUT_S,
+                [sys.executable, os.path.abspath(__file__), "--tiers", name],
+                capture_output=True, text=True,
+                timeout=TIER_RETRY_TIMEOUT_S,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            tier_lines = [l for l in out.stdout.splitlines()
-                          if l.startswith("TIER")]
-            parts = tier_lines[-1].split() if tier_lines else []
-            if len(parts) == 3:
-                results[name] = (float(parts[1]), float(parts[2]))
-                print(f"tier {name}: {parts[1]} GB/s ratio {parts[2]}",
-                      file=sys.stderr)
-            else:
-                err_tail = out.stderr.strip().splitlines()[-1:] or ["?"]
-                print(f"tier {name}: failed ({err_tail[0]})",
-                      file=sys.stderr)
+            consume(out.stdout)
         except Exception as e:
-            print(f"tier {name} failed: {type(e).__name__}: {e}",
+            print(f"tier {name} retry failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
         # interleave baseline samples with tier runs (same host-load mix)
         g, r = measure_baseline_once(corpus_path)
@@ -257,7 +304,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--tier":
-        run_tier(sys.argv[2])
+    if len(sys.argv) >= 3 and sys.argv[1] in ("--tier", "--tiers"):
+        run_tiers(sys.argv[2].split(","))
     else:
         main()

@@ -338,7 +338,8 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
                         two_pass: bool = False, hash3: bool = False,
                         wide_window: bool = True, S: int = DP_SEG,
                         passes: int = 1, use_content: bool = True,
-                        use_wide: bool = True, ladder=LEN_LADDER):
+                        use_wide: bool = True, ladder=LEN_LADDER,
+                        ext_c: bool = True):
     """Candidate generation + cost seeding + DP + commit, optionally
     iterated: pass k >= 2 re-derives symbol costs from pass k-1's real
     code lengths and re-runs the DP (the reference's iterated cost
@@ -347,6 +348,7 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
     bp, pos, lenA, dA, lenB, dB, lenC, dC, d3 = _parse_candidates(
         b, length, depth=depth, two_pass=two_pass, hash3=hash3,
         wide_window=wide_window, use_content=use_content, use_wide=use_wide,
+        ext_c=ext_c,
     )
     n_pad = bp.shape[0]
     S_eff = S if (n_pad % S == 0 and n_pad >= S) else n_pad
@@ -448,6 +450,7 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
                                     ladder=LEN_LADDER,
                                     refine: int = 16,
                                     flat_lit1: bool = False,
+                                    ext_c: bool = True,
                                     interpret: bool = False):
     from .pallas_kernels import dp_parse_pallas, pack_groups_pallas
     from .tpu_dynamic import (
@@ -465,7 +468,7 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
         bp, pos, lenA, dA, lenB, dB, lenC, dC, d3 = _parse_candidates(
             b, length, depth=depth, two_pass=two_pass, hash3=hash3,
             wide_window=not (two_pass or hash3), use_content=use_content,
-            use_wide=use_wide,
+            use_wide=use_wide, ext_c=ext_c,
         )
         cost_lit, lit_cache = _literal_costs(bp, length, bp.shape[0])
         return (bp, pos, cost_lit, lenA, dA, lenB, dB, lenC, dC, d3,
@@ -588,4 +591,20 @@ def compress_chunks_optfast_pallas(bufs, lengths, bfinal, interpret=False):
         bufs, lengths, bfinal, depth=6, two_pass=False, hash3=False,
         passes=2, use_content=False, use_wide=False,
         ladder=LEN_LADDER_DENSE, interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def compress_chunks_lean_pallas(bufs, lengths, bfinal, interpret=False):
+    """Single-cost-pass lean DP tier — the bench headline candidate.
+
+    passes=1 drops the whole second cost pass (code-lens sort +
+    literal-cost re-translate + DP + commit, ~20 ms per 4-chunk batch);
+    the densest length ladder (every length 3..66 + half-band steps)
+    spends some of that speed back as ratio.  Measured on-chip (16 MiB
+    mixed corpus): 0.0589 GB/s at 33.98% vs libdeflate -6's 34.12%."""
+    return _compress_chunks_optimal_pallas(
+        bufs, lengths, bfinal, depth=6, two_pass=False, hash3=False,
+        passes=1, use_content=False, use_wide=False,
+        ladder=LEN_LADDER_DENSE2, interpret=interpret,
     )

@@ -935,7 +935,7 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
 def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
                       two_pass: bool = False, hash3: bool = False,
                       wide_window: bool = True, use_content: bool = True,
-                      use_wide: bool = True):
+                      use_wide: bool = True, ext_c: bool = True):
     """Candidate generation for the min-cost DP parser: per-position best
     and runner-up (distinct-distance) match candidates, plus an optional
     len-3 short-offset candidate.  Same matchfind machinery as
@@ -993,8 +993,17 @@ def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
         rawD = cA[0:3]
         rawE = cA[3:6]
         ext = _chain_extend_multi([rawA, rawB, rawC, rawD, rawE])
-    else:
+    elif ext_c:
         ext = _chain_extend_multi([rawA, rawB, rawC])
+    else:
+        # C (nearest occurrence) stays at its raw word-granular LCP (+fine
+        # remainder): its role in the DP pool is the MIN-DISTANCE short
+        # option, which rarely needs extension — and dropping it from the
+        # K**2 relaxation cuts the extension cost ~45%
+        ext = _chain_extend_multi([rawA, rawB])
+        mC0, dC0, fC0 = rawC
+        lnC0 = jnp.minimum(mC0 + jnp.where(mC0 >= 4, fC0, 0), MAX_LEN)
+        ext = ext + [(lnC0, dC0)]
 
     # pool selection: A = longest (ties: nearest), B = second-longest at a
     # distinct distance, C = nearest occurrence with len >= 4

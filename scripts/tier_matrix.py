@@ -54,6 +54,33 @@ def tier_configs():
         "leanK(G+refine4+flat)": functools.partial(
             mk, depth=4, two_pass=False, hash3=False, passes=2, **lean,
             refine=4, flat_lit1=True),
+        # passes=1 variants: spend the ratio margin (0.3376 vs bar 0.3412)
+        # to drop the whole second cost pass (code-lens sort + re-translate
+        # + DP2 + commit2, ~20 ms/4-chunk batch)
+        "lean1(D,passes=1)": functools.partial(
+            mk, depth=6, two_pass=False, hash3=False, passes=1, **lean),
+        "lean1J(dense2,passes=1)": functools.partial(
+            mk, depth=6, two_pass=False, hash3=False, passes=1,
+            use_content=False, use_wide=False, ladder=to.LEN_LADDER_DENSE2),
+        "lean1r0(D,p1,refine0)": functools.partial(
+            mk, depth=6, two_pass=False, hash3=False, passes=1, **lean,
+            refine=0),
+        "lean1d4(p1,depth4)": functools.partial(
+            mk, depth=4, two_pass=False, hash3=False, passes=1, **lean),
+        # raw-C (skip extending the nearest-occurrence candidate) and flat
+        # pass-1 literal costs on the passes=1 dense2 base
+        "lean1X(p1,rawC)": functools.partial(
+            mk, depth=6, two_pass=False, hash3=False, passes=1,
+            use_content=False, use_wide=False, ladder=to.LEN_LADDER_DENSE2,
+            ext_c=False),
+        "lean1F(p1,flat)": functools.partial(
+            mk, depth=6, two_pass=False, hash3=False, passes=1,
+            use_content=False, use_wide=False, ladder=to.LEN_LADDER_DENSE2,
+            flat_lit1=True),
+        "lean1XF(p1,rawC,flat)": functools.partial(
+            mk, depth=6, two_pass=False, hash3=False, passes=1,
+            use_content=False, use_wide=False, ladder=to.LEN_LADDER_DENSE2,
+            ext_c=False, flat_lit1=True),
     }
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     if only:
