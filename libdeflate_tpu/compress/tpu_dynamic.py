@@ -298,9 +298,14 @@ def _sort_syms(sym: jax.Array, seg: int, nsym: int = NSYM_ALL):
 
 
 def _translate(sk: jax.Array, starts: jax.Array, table: jax.Array, seg: int,
-               nsym: int = NSYM_ALL):
+               nsym: int = NSYM_ALL, vbits: int | None = None):
     """Per-position packed code via boundary-delta scatter + row prefix sum
-    (exact: partial delta sums telescope to a table entry < 2^19)."""
+    (exact: partial delta sums telescope to a table entry < 2^19).
+
+    With ``vbits`` (when every table value < 2**vbits and
+    vbits + position bits <= 32), the un-permute rides ONE sort operand:
+    the value is packed below the position key — positions are unique per
+    row, so the low bits never affect the order."""
     m = sk.shape[0]
     tpad = jnp.concatenate([jnp.zeros(1, jnp.int32), table[:nsym]])
     deltas = jnp.broadcast_to((tpad[1:] - tpad[:-1])[None, :], (m, nsym))
@@ -314,6 +319,11 @@ def _translate(sk: jax.Array, starts: jax.Array, table: jax.Array, seg: int,
     excl = jax.vmap(lambda row: _exclusive_bit_offsets(row)[0])(dvec)
     v_sorted = (excl + dvec).astype(jnp.uint32)
     slp = sk & jnp.uint32((1 << SYM_POS_BITS) - 1)
+    if vbits is not None and vbits + SYM_POS_BITS <= 32:
+        packed = (slp << jnp.uint32(vbits)) | v_sorted
+        (pk,) = jax.lax.sort((packed,), num_keys=1, dimension=1)
+        v = pk & jnp.uint32((1 << vbits) - 1)
+        return v.reshape(m * seg).astype(jnp.int32)
     _, v = jax.lax.sort((slp, v_sorted), num_keys=1, dimension=1)
     return v.reshape(m * seg).astype(jnp.int32)
 
@@ -420,7 +430,10 @@ def _emit_dynamic_pre(bp, commit_match, commit_lit, eff, dist,
     table = jnp.where(
         use_dyn, jnp.concatenate([t_lit, t_dist]), _T_STATIC_ALL
     )
-    code_at = _translate(sk, starts, table, sym_seg)
+    # 11-bit codes pack (rev<<4|len) < 2**15: the un-permute rides one
+    # packed operand (value below the 16-bit position key)
+    code_at = _translate(sk, starts, table, sym_seg,
+                         vbits=15 if max_len <= MAX_CODE_LEN else None)
 
     # ---- emission columns ------------------------------------------------------
     clen = (code_at & 15).astype(jnp.int32)

@@ -142,7 +142,8 @@ def _literal_costs(bp: jax.Array, length: jax.Array, n_pad: int,
     else:
         cost = jnp.where(table > 0, table, 14 * BIT).astype(jnp.int32)
     table_full = jnp.concatenate([cost, jnp.zeros(1, jnp.int32)])
-    return _translate(sk, starts, table_full, seg, nsym=257), cache
+    # costs <= 15*BIT = 240 < 2**8: the un-permute rides one packed operand
+    return _translate(sk, starts, table_full, seg, nsym=257, vbits=8), cache
 
 
 def _dist_cost(dist: jax.Array) -> jax.Array:
@@ -339,7 +340,9 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
                         wide_window: bool = True, S: int = DP_SEG,
                         passes: int = 1, use_content: bool = True,
                         use_wide: bool = True, ladder=LEN_LADDER,
-                        ext_c: bool = True):
+                        ext_c: bool = True, lcp: int = 16,
+                        row_lit1: bool = False,
+                        strides2=(1, 2, 4, 8, 16, 32, 64, 128)):
     """Candidate generation + cost seeding + DP + commit, optionally
     iterated: pass k >= 2 re-derives symbol costs from pass k-1's real
     code lengths and re-runs the DP (the reference's iterated cost
@@ -348,12 +351,24 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
     bp, pos, lenA, dA, lenB, dB, lenC, dC, d3 = _parse_candidates(
         b, length, depth=depth, two_pass=two_pass, hash3=hash3,
         wide_window=wide_window, use_content=use_content, use_wide=use_wide,
-        ext_c=ext_c,
+        ext_c=ext_c, lcp=lcp, strides2=strides2,
     )
     n_pad = bp.shape[0]
     S_eff = S if (n_pad % S == 0 and n_pad >= S) else n_pad
 
     cost_lit, lit_cache = _literal_costs(bp, length, n_pad)
+    if row_lit1:
+        starts = lit_cache[1]
+        hrow = (starts[:, 1:257] - starts[:, :256]).astype(jnp.int32)
+        total = jnp.maximum(jnp.sum(hrow, axis=1), 1).astype(jnp.float32)
+        bits = (jnp.log2(total)[:, None]
+                - jnp.log2(jnp.maximum(hrow, 1).astype(jnp.float32)))
+        c = jnp.clip(jnp.round(BIT * bits).astype(jnp.int32), BIT, 15 * BIT)
+        num = jnp.sum(jnp.where(hrow > 0, hrow * c, 0), axis=1)
+        rc = (num // jnp.maximum(total.astype(jnp.int32), 1)).astype(jnp.int32)
+        m = rc.shape[0]
+        cost_lit = jnp.broadcast_to(
+            rc[:, None], (m, n_pad // m)).reshape(n_pad)
     cdA = _dist_cost(dA)
     cdB = _dist_cost(dB)
     cdC = _dist_cost(dC)
@@ -392,14 +407,18 @@ def compress_chunk_optimal(b: jax.Array, length: jax.Array, bfinal: jax.Array,
                            depth: int = 6, two_pass: bool = False,
                            hash3: bool = False, passes: int = 1,
                            use_content: bool = True, use_wide: bool = True,
-                           ladder=LEN_LADDER, refine_passes: int = 16):
+                           ladder=LEN_LADDER, refine_passes: int = 16,
+                           **parse_kw):
     """Min-cost-DP dynamic-block chunk compressor; same output contract as
-    compress_chunk_dynamic (byte-aligned fragment, sync flush)."""
+    compress_chunk_dynamic (byte-aligned fragment, sync flush).  Extra
+    keyword args (ext_c, lcp, strides2, row_lit1) pass through to
+    parse_chunk_optimal."""
     n = b.shape[0]
     bp, pos, commit_match, commit_lit, eff, dist = parse_chunk_optimal(
         b, length, depth=depth, two_pass=two_pass, hash3=hash3,
         wide_window=not (two_pass or hash3), passes=passes,
         use_content=use_content, use_wide=use_wide, ladder=ladder,
+        **parse_kw,
     )
     return emit_dynamic_block(
         bp, bfinal, commit_match, commit_lit, eff, dist, n, bp.shape[0],
@@ -450,7 +469,11 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
                                     ladder=LEN_LADDER,
                                     refine: int = 16,
                                     flat_lit1: bool = False,
+                                    row_lit1: bool = False,
                                     ext_c: bool = True,
+                                    lcp8: bool = False,
+                                    lcp: int = 16,
+                                    strides2=(1, 2, 4, 8, 16, 32, 64, 128),
                                     interpret: bool = False):
     from .pallas_kernels import dp_parse_pallas, pack_groups_pallas
     from .tpu_dynamic import (
@@ -469,6 +492,7 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
             b, length, depth=depth, two_pass=two_pass, hash3=hash3,
             wide_window=not (two_pass or hash3), use_content=use_content,
             use_wide=use_wide, ext_c=ext_c,
+            lcp=8 if lcp8 else lcp, strides2=strides2,
         )
         cost_lit, lit_cache = _literal_costs(bp, length, bp.shape[0])
         return (bp, pos, cost_lit, lenA, dA, lenB, dB, lenC, dC, d3,
@@ -493,6 +517,28 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
             return m.astype(jnp.int32)
         mc = jax.vmap(mean_cost)(lit_cache)
         cost_lit = jnp.broadcast_to(mc[:, None], cost_lit.shape)
+    elif row_lit1:
+        # per-64KB-row mean literal cost: row-LOCAL byte entropy from the
+        # sort's per-row boundary counts, broadcast within the row — keeps
+        # the flat variant's speed (no translate, no unpermute) while
+        # adapting to content changes inside the chunk (rows map 1:1 onto
+        # contiguous 64KB position ranges)
+        def row_cost(cache):
+            starts = cache[1]                    # [m, 258]
+            h = (starts[:, 1:257] - starts[:, :256]).astype(jnp.int32)
+            total = jnp.maximum(jnp.sum(h, axis=1), 1).astype(jnp.float32)
+            bits = (jnp.log2(total)[:, None]
+                    - jnp.log2(jnp.maximum(h, 1).astype(jnp.float32)))
+            c = jnp.clip(jnp.round(BIT * bits).astype(jnp.int32),
+                         BIT, 15 * BIT)
+            num = jnp.sum(jnp.where(h > 0, h * c, 0), axis=1)
+            return (num // jnp.maximum(total.astype(jnp.int32), 1)
+                    ).astype(jnp.int32)          # [m]
+        rc = jax.vmap(row_cost)(lit_cache)       # [B, m]
+        m = rc.shape[1]
+        cost_lit = jnp.broadcast_to(
+            rc[:, :, None], (rc.shape[0], m, n_pad // m)
+        ).reshape(rc.shape[0], n_pad)
     S_eff = DP_SEG if (n_pad % DP_SEG == 0 and n_pad >= DP_SEG) else n_pad
 
     cdA = _dist_cost(dA)
@@ -601,10 +647,15 @@ def compress_chunks_lean_pallas(bufs, lengths, bfinal, interpret=False):
     passes=1 drops the whole second cost pass (code-lens sort +
     literal-cost re-translate + DP + commit, ~20 ms per 4-chunk batch);
     the densest length ladder (every length 3..66 + half-band steps)
-    spends some of that speed back as ratio.  Measured on-chip (16 MiB
-    mixed corpus): 0.0589 GB/s at 33.98% vs libdeflate -6's 34.12%."""
+    spends some of that speed back as ratio.  ext_c=False keeps the
+    nearest-occurrence candidate raw (no K^2 relaxation slot),
+    strides2=() drops the second relaxation round (+0.03pp on the full
+    corpus), and refine=0 emits 11-bit codes (+0.07pp) whose packed
+    values ride one-operand un-permute sorts.  Corpus ratio 0.3408 vs
+    libdeflate -6's 0.3412."""
     return _compress_chunks_optimal_pallas(
         bufs, lengths, bfinal, depth=6, two_pass=False, hash3=False,
         passes=1, use_content=False, use_wide=False,
-        ladder=LEN_LADDER_DENSE2, interpret=interpret,
+        ladder=LEN_LADDER_DENSE2, ext_c=False, strides2=(), refine=0,
+        interpret=interpret,
     )

@@ -207,7 +207,7 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
     pos_bits, junk = _seg_key_params(seg)
     lp = jax.lax.broadcasted_iota(jnp.uint32, (m, seg), 1)
     key = (h.reshape(m, seg).astype(jnp.uint32) << jnp.uint32(pos_bits)) | lp
-    deep = w8 is not None
+    deep = w8 is not None and w12 is not None
     ops = (key, w.reshape(m, seg), w4.reshape(m, seg))
     if deep:
         ops = ops + (w8.reshape(m, seg), w12.reshape(m, seg))
@@ -273,7 +273,7 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
         return mlen, dist, fine
 
     mlen, dist, fine = probe(1)
-    if not (deep and (wide_ext or return_pair or return_triple)):
+    if not (wide_ext or return_pair or return_triple):
         for d in range(2, depth + 1):
             m2, d2, f2 = probe(d)
             better = (m2 > mlen) | ((m2 == mlen) & (f2 > fine))
@@ -543,7 +543,7 @@ def _chain_extend2(mA, dA, fA, mB, dB, fB, return_pair: bool = False):
     return jnp.where(useB, lenB, lenA), jnp.where(useB, dB, dA)
 
 
-def _chain_extend_multi(cands):
+def _chain_extend_multi(cands, strides2=(1, 2, 4, 8, 16, 32, 64, 128)):
     """N-candidate chain extension by multi-stride max-relaxation.
 
     Exact identity: lcp(i, d) >= s  =>  lcp(i, d) = s + lcp(i+s, d) for
@@ -564,8 +564,8 @@ def _chain_extend_multi(cands):
     rs = [c[0] for c in cands]
     ds = [c[1] for c in cands]
     fs = [c[2] for c in cands]
-    for _ in range(2):
-        for s in (1, 2, 4, 8, 16, 32, 64, 128):
+    for strides in ((1, 2, 4, 8, 16, 32, 64, 128), strides2):
+        for s in strides:
             def sh(x):
                 return jnp.concatenate([x[s:], jnp.zeros(s, jnp.int32)])
             r_s = [sh(r) for r in rs]
@@ -935,7 +935,9 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
 def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
                       two_pass: bool = False, hash3: bool = False,
                       wide_window: bool = True, use_content: bool = True,
-                      use_wide: bool = True, ext_c: bool = True):
+                      use_wide: bool = True, ext_c: bool = True,
+                      lcp: int = 16,
+                      strides2=(1, 2, 4, 8, 16, 32, 64, 128)):
     """Candidate generation for the min-cost DP parser: per-position best
     and runner-up (distinct-distance) match candidates, plus an optional
     len-3 short-offset candidate.  Same matchfind machinery as
@@ -978,9 +980,14 @@ def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
     )
     h = jnp.where(pos + MIN_MATCH <= length, h, jnp.uint32(junk_val))
 
+    # lcp < 16 drops the w12 (and at 8 also w8) sort payloads: LCP capped
+    # at `lcp` + fine; the multi-stride relaxation in _chain_extend_multi
+    # still recovers long matches from any r >= s, not just stride
+    # boundaries — 1-2 fewer operands on the hot pos-pass sort
     rawA, rawB, rawC = _sorted_matchfind(
-        h, words_u32, w4, w8, w12, sort_seg, depth=depth, return_triple=True,
-        wide=wide,
+        h, words_u32, w4, None if lcp <= 8 else w8,
+        None if lcp <= 12 else w12,
+        sort_seg, depth=depth, return_triple=True, wide=wide,
     )
     if use_content:
         # content-ordered pass: lexicographic neighbors give the length-best
@@ -994,13 +1001,13 @@ def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
         rawE = cA[3:6]
         ext = _chain_extend_multi([rawA, rawB, rawC, rawD, rawE])
     elif ext_c:
-        ext = _chain_extend_multi([rawA, rawB, rawC])
+        ext = _chain_extend_multi([rawA, rawB, rawC], strides2=strides2)
     else:
         # C (nearest occurrence) stays at its raw word-granular LCP (+fine
         # remainder): its role in the DP pool is the MIN-DISTANCE short
         # option, which rarely needs extension — and dropping it from the
         # K**2 relaxation cuts the extension cost ~45%
-        ext = _chain_extend_multi([rawA, rawB])
+        ext = _chain_extend_multi([rawA, rawB], strides2=strides2)
         mC0, dC0, fC0 = rawC
         lnC0 = jnp.minimum(mC0 + jnp.where(mC0 >= 4, fC0, 0), MAX_LEN)
         ext = ext + [(lnC0, dC0)]

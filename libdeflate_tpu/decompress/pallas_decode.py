@@ -347,7 +347,8 @@ def _build_table_scalar(lens_ref, lens_off, nsyms, table_bits, table_ref,
 
 def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
                    out_ref, status_ref, oplen_ref, cons_ref, stage, ring,
-                   ll_tab, of_tab, pre_tab, lens, aux, sem_in, sem_out):
+                   ll_tab, of_tab, pre_tab, lens, aux, sem_in, sem_out,
+                   *, W: int, OW: int):
     b = pl.program_id(0)
     in_words = _shr(clen_ref[b] + 3, 2)
     olen = olen_ref[b]
@@ -359,14 +360,19 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
     # always in bounds and overread bits decode as zeros (the appended-zeros
     # tolerance of lib/deflate_decompress.c:214-254).
     def stage_from(w0):
-        w0 = jnp.minimum(w0, comp_ref.shape[1] - STAGE_W)
+        # Mosaic tiles 1-D HBM memrefs (1024,) and must PROVE the dynamic
+        # start divisible by the tile: clamp first (W - STAGE_W is a
+        # compile-time multiple of 1024), then mask — the trailing & ~1023
+        # is what the prover keys on
+        w0 = jnp.minimum(w0, W - STAGE_W) & ~jnp.int32(1023)
         cp = pltpu.make_async_copy(
-            comp_ref.at[b, pl.ds(w0, STAGE_W)],
+            comp_ref.at[pl.ds(b * W + w0, STAGE_W)],
             stage,
             sem_in,
         )
         cp.start()
         cp.wait()
+        return w0
 
     stage_from(0)
 
@@ -379,13 +385,15 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
         return lo | hi
 
     def ensure(t, base):
-        """Refill staging if word(t)+1 is outside the window; returns base."""
+        """Refill staging if word(t)+1 is outside the window; returns base.
+        The refill base aligns down to 1024 words (DMA tile alignment), so
+        the effective window is STAGE_W - 1023 words (~4 KiB)."""
+        nb = jnp.minimum(_shr(t, 5), W - STAGE_W) & ~jnp.int32(1023)
         pred = _shr(t, 5) + 1 - base >= STAGE_W
-        nb = _shr(t, 5)
 
         @pl.when(pred)
         def _():
-            stage_from(nb)
+            stage_from(_shr(t, 5))
         return jnp.where(pred, nb, base)
 
     # ---- ring (LZ window) -------------------------------------------------
@@ -408,10 +416,13 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
         rem = op_end & (RING_W * 4 - 1)
         nbytes = jnp.where(rem == 0, RING_W * 4, rem)
         nw = _shr(nbytes + 3, 2)
-        start_w = _shr(op_end - nbytes, 2)
+        # op_end - nbytes is a multiple of 32768 bytes; expressing the word
+        # start as (bytes >> 15) << 13 gives the DMA-alignment prover 13
+        # trailing zero bits (>= the 1024-word 1-D HBM tile)
+        start_w = _shl(_shr(op_end - nbytes, 15), 13)
         cp = pltpu.make_async_copy(
             ring.at[pl.ds(0, RING_W)],
-            out_ref.at[b, pl.ds(start_w, RING_W)],
+            out_ref.at[pl.ds(b * OW + start_w, RING_W)],
             sem_out,
         )
         # full-ring DMA keeps the shape static; the host over-allocates
@@ -721,28 +732,41 @@ def decompress_chunks_pallas(comp_words, comp_len, out_len,
     """
     B, W = comp_words.shape
     assert out_bytes % 4 == 0
-    out_w = out_bytes // 4 + RING_W   # flush slack (full-ring DMAs)
+    # flush slack (full-ring DMAs) + rounding so every chunk's flat
+    # offset b * out_w stays 1024-word aligned (1-D HBM DMA tiling)
+    out_w = -(-(out_bytes // 4) // 1024) * 1024 + RING_W
+    # flat 1-D DMA arrays with 128-word-aligned chunk strides: Mosaic
+    # tiles 2-D HBM memrefs (8,128), making single-row DMA slices illegal
+    W_pad = -(-W // 1024) * 1024
     cw = comp_words.astype(jnp.int32)
+    if W_pad != W:
+        cw = jnp.pad(cw, ((0, 0), (0, W_pad - W)))
+    cw = cw.reshape(B * W_pad)
     strict = jnp.full((B,), 1 if known_size else 0, jnp.int32)
 
     out, status, oplens, consumed = pl.pallas_call(
-        _decode_kernel,
+        functools.partial(_decode_kernel, W=W_pad, OW=out_w),
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # comp_len
             pl.BlockSpec(memory_space=pltpu.SMEM),   # out_len
             pl.BlockSpec(memory_space=pltpu.SMEM),   # strict flags
             pl.BlockSpec(memory_space=pltpu.SMEM),   # constant tables
-            pl.BlockSpec(memory_space=pltpu.ANY),    # comp words (HBM)
+            # explicitly HBM: under ANY the compiler may place the array
+            # in VMEM with (8,128) tiling, where the per-chunk 1-row DMA
+            # slice is illegal ("slice shape along dim 0 must be aligned
+            # to tiling"); HBM memrefs are untiled so arbitrary-row DMA
+            # staging is allowed
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # out words (HBM)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # out words
             pl.BlockSpec(memory_space=pltpu.SMEM),   # status
             pl.BlockSpec(memory_space=pltpu.SMEM),   # out lens
             pl.BlockSpec(memory_space=pltpu.SMEM),   # consumed bytes
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, out_w), jnp.int32),
+            jax.ShapeDtypeStruct((B * out_w,), jnp.int32),
             jax.ShapeDtypeStruct((B,), jnp.int32),
             jax.ShapeDtypeStruct((B,), jnp.int32),
             jax.ShapeDtypeStruct((B,), jnp.int32),
@@ -763,7 +787,8 @@ def decompress_chunks_pallas(comp_words, comp_len, out_len,
       jnp.asarray(_CONSTS), cw)
 
     out_bytes_arr = jax.lax.bitcast_convert_type(
-        out[:, : out_bytes // 4], jnp.uint8).reshape(B, out_bytes)
+        out.reshape(B, out_w)[:, : out_bytes // 4], jnp.uint8
+    ).reshape(B, out_bytes)
     return out_bytes_arr, status, oplens, consumed
 
 

@@ -41,18 +41,18 @@ def make_chunk_mesh(devices=None, axis_name: str = "chunks") -> Mesh:
 def _chunk_compressor(level: int):
     """Device chunk compressor ladder (the analogue of the reference's
     per-level impl table, lib/deflate_compress.c:3927-4013):
-    1 -> static-code greedy (fastest); 2-6 -> dynamic Huffman
-    (single-pass 64K-segment window, avg 24K history); 7 -> + full-window
-    rescue pass; 8-9 -> min-cost DP with two cost passes (beats
-    libdeflate -6 on ratio); 10-12 -> + deep/content candidates, len-3
-    matches (the near-optimal analogue)."""
+    1 -> static-code greedy (fastest); 2-4 -> dynamic Huffman
+    (single-pass, 128K-segment window); 5-7 -> lean min-cost DP
+    (single seeded cost pass — ratio 34.0% beats libdeflate -6's 34.1%);
+    8-9 -> DP with two cost passes + full candidate pool; 10-12 -> +
+    deep/content candidates, len-3 matches (the near-optimal analogue)."""
     if level <= 1:
         return compress_chunk_static
-    from ..compress.tpu_dynamic import (
-        compress_chunk_dynamic,
-        compress_chunk_dynamic2,
+    from ..compress.tpu_dynamic import compress_chunk_dynamic
+    from ..compress.tpu_optimal import (
+        LEN_LADDER_DENSE2,
+        compress_chunk_optimal,
     )
-    from ..compress.tpu_optimal import compress_chunk_optimal
 
     if level >= 10:
         return lambda b, l, f: compress_chunk_optimal(
@@ -60,7 +60,12 @@ def _chunk_compressor(level: int):
         )
     if level >= 8:
         return lambda b, l, f: compress_chunk_optimal(b, l, f, passes=2)
-    return compress_chunk_dynamic2 if level >= 7 else compress_chunk_dynamic
+    if level >= 5:
+        return lambda b, l, f: compress_chunk_optimal(
+            b, l, f, passes=1, use_content=False, use_wide=False,
+            ladder=LEN_LADDER_DENSE2, ext_c=False, strides2=(),
+        )
+    return compress_chunk_dynamic
 
 
 def _per_shard_compress(bufs, lengths, bfinal, *, compress_fn):

@@ -81,6 +81,21 @@ def tier_configs():
             mk, depth=6, two_pass=False, hash3=False, passes=1,
             use_content=False, use_wide=False, ladder=to.LEN_LADDER_DENSE2,
             ext_c=False, flat_lit1=True),
+        "lean1XR(p1,rawC,rowlit)": functools.partial(
+            mk, depth=6, two_pass=False, hash3=False, passes=1,
+            use_content=False, use_wide=False, ladder=to.LEN_LADDER_DENSE2,
+            ext_c=False, row_lit1=True),
+        "lean1X8(p1,rawC,lcp8)": functools.partial(
+            mk, depth=6, two_pass=False, hash3=False, passes=1,
+            use_content=False, use_wide=False, ladder=to.LEN_LADDER_DENSE2,
+            ext_c=False, lcp8=True),
+        "lean1XR8(rawC,rowlit,lcp8)": functools.partial(
+            mk, depth=6, two_pass=False, hash3=False, passes=1,
+            use_content=False, use_wide=False, ladder=to.LEN_LADDER_DENSE2,
+            ext_c=False, row_lit1=True, lcp8=True),
+        # the named bench tier (rawC + no round-2 relaxation + packed
+        # literal-cost unpermute)
+        "leanfinal": to.compress_chunks_lean_pallas,
     }
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     if only:
