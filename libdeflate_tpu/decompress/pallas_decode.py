@@ -361,12 +361,14 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
     # tolerance of lib/deflate_decompress.c:214-254).
     def stage_from(w0):
         # Mosaic tiles 1-D HBM memrefs (1024,) and must PROVE the dynamic
-        # start divisible by the tile: clamp first (W - STAGE_W is a
-        # compile-time multiple of 1024), then mask — the trailing & ~1023
-        # is what the prover keys on
-        w0 = jnp.minimum(w0, W - STAGE_W) & ~jnp.int32(1023)
+        # DMA start divisible by the tile; clamp first (W - STAGE_W is a
+        # compile-time multiple of 1024), then align down
+        w0 = jnp.minimum(w0, W - STAGE_W)
+        # make divisibility syntactic for the Mosaic DMA-alignment prover:
+        # the slice start's final op is a << 10 (1024-word tiles)
+        start = _shl(b * (W // 1024) + _shr(w0, 10), 10)
         cp = pltpu.make_async_copy(
-            comp_ref.at[pl.ds(b * W + w0, STAGE_W)],
+            comp_ref.at[pl.ds(start, STAGE_W)],
             stage,
             sem_in,
         )
@@ -388,7 +390,7 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
         """Refill staging if word(t)+1 is outside the window; returns base.
         The refill base aligns down to 1024 words (DMA tile alignment), so
         the effective window is STAGE_W - 1023 words (~4 KiB)."""
-        nb = jnp.minimum(_shr(t, 5), W - STAGE_W) & ~jnp.int32(1023)
+        nb = _shl(_shr(jnp.minimum(_shr(t, 5), W - STAGE_W), 10), 10)
         pred = _shr(t, 5) + 1 - base >= STAGE_W
 
         @pl.when(pred)
@@ -416,13 +418,11 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
         rem = op_end & (RING_W * 4 - 1)
         nbytes = jnp.where(rem == 0, RING_W * 4, rem)
         nw = _shr(nbytes + 3, 2)
-        # op_end - nbytes is a multiple of 32768 bytes; expressing the word
-        # start as (bytes >> 15) << 13 gives the DMA-alignment prover 13
-        # trailing zero bits (>= the 1024-word 1-D HBM tile)
-        start_w = _shl(_shr(op_end - nbytes, 15), 13)
+        # op_end - nbytes is a multiple of 32768 bytes = 8192 words
+        start_wb = _shl(_shr(op_end - nbytes, 15), 3)   # in 1024-word blocks
         cp = pltpu.make_async_copy(
             ring.at[pl.ds(0, RING_W)],
-            out_ref.at[pl.ds(b * OW + start_w, RING_W)],
+            out_ref.at[pl.ds(_shl(b * (OW // 1024) + start_wb, 10), RING_W)],
             sem_out,
         )
         # full-ring DMA keeps the shape static; the host over-allocates
