@@ -147,3 +147,27 @@ def test_pallas_deep_two_pass_bit_exact_single_chunk():
     b = device_stream_to_bytes(w_pal[0], t_pal[0])
     assert a == b
     assert zlib.decompressobj(-15).decompress(b) == raw
+
+
+def test_lean_tier_roundtrip():
+    """The bench headline tier (passes=1, dense2 ladder, raw C, no
+    round-2 relaxation, 11-bit codes, packed un-permutes): round-trip
+    vs zlib on mixed content, interpret mode."""
+    rng = np.random.default_rng(11)
+    N = 1 << 16
+    txt = (open("/root/reference/README.md", "rb").read() * 20)[:N]
+    rec = np.tile(rng.integers(0, 256, 64, dtype=np.uint8), N // 64)
+    noise = rng.integers(0, 256, N, dtype=np.uint8)
+    rec = np.where(rng.random(N) < 0.05, noise, rec).astype(np.uint8)
+    bufs = np.stack([np.frombuffer(txt, np.uint8), rec])
+    lengths = np.array([N, N], np.int32)
+    bfinal = np.array([False, True])
+
+    w, t = to.compress_chunks_lean_pallas(
+        jnp.asarray(bufs), jnp.asarray(lengths), jnp.asarray(bfinal),
+        interpret=True,
+    )
+    w, t = np.asarray(w), np.asarray(t)
+    for k in range(2):
+        s = device_stream_to_bytes(w[k], t[k])
+        assert zlib.decompressobj(-15).decompress(s) == bufs[k].tobytes()
