@@ -366,7 +366,8 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
         w0 = jnp.minimum(w0, W - STAGE_W)
         # make divisibility syntactic for the Mosaic DMA-alignment prover:
         # the slice start's final op is a << 10 (1024-word tiles)
-        start = _shl(b * (W // 1024) + _shr(w0, 10), 10)
+        start = pl.multiple_of(_shl(b * (W // 1024) + _shr(w0, 10), 10),
+                               1024)
         cp = pltpu.make_async_copy(
             comp_ref.at[pl.ds(start, STAGE_W)],
             stage,
@@ -420,9 +421,10 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
         nw = _shr(nbytes + 3, 2)
         # op_end - nbytes is a multiple of 32768 bytes = 8192 words
         start_wb = _shl(_shr(op_end - nbytes, 15), 3)   # in 1024-word blocks
+        dst = pl.multiple_of(_shl(b * (OW // 1024) + start_wb, 10), 1024)
         cp = pltpu.make_async_copy(
             ring.at[pl.ds(0, RING_W)],
-            out_ref.at[pl.ds(_shl(b * (OW // 1024) + start_wb, 10), RING_W)],
+            out_ref.at[pl.ds(dst, RING_W)],
             sem_out,
         )
         # full-ring DMA keeps the shape static; the host over-allocates

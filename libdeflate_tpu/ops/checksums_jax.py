@@ -31,6 +31,7 @@ from .crc32_math import (
     BLOCK_BITS_MATRIX,
     CRC_BIT_TABLE,
     CRC_BLOCK,
+    INV_ADVANCE_POW2,
 )
 
 ADLER_MOD = 65521
@@ -120,6 +121,7 @@ def adler32_fixed(buf: jax.Array, length: jax.Array, adler_init: jax.Array):
 
 
 _ADV = jnp.asarray(np.asarray(ADVANCE_POW2))  # [40, 32] uint32
+_IADV = jnp.asarray(np.asarray(INV_ADVANCE_POW2))  # [40, 32] uint32
 _BITTAB = jnp.asarray(np.asarray(CRC_BIT_TABLE))  # [8] uint32
 _CRC_LOG_BLOCK = CRC_BLOCK.bit_length() - 1
 # [8*CRC_BLOCK, 32] 0/1 matrix: MXU operand for the intra-block reduction
@@ -166,12 +168,15 @@ def _crc_leaves(b: jax.Array) -> jax.Array:
     return v
 
 
-def _advance_dyn(reg: jax.Array, nbytes: jax.Array) -> jax.Array:
-    """Advance scalar register(s) past a *dynamic* number of zero bytes."""
+def _advance_dyn(reg: jax.Array, nbytes: jax.Array,
+                 mats: jax.Array | None = None) -> jax.Array:
+    """Advance scalar register(s) past a *dynamic* number of zero bytes
+    (or rewind, with mats=_IADV)."""
     out = reg
+    mats = _ADV if mats is None else mats
     for j in range(32):
         bit = ((nbytes >> j) & 1).astype(jnp.uint32)
-        advanced = _mat_vec_const(_ADV[j], out)
+        advanced = _mat_vec_const(mats[j], out)
         out = jnp.where(bit == 1, advanced, out)
     return out
 
@@ -179,19 +184,17 @@ def _advance_dyn(reg: jax.Array, nbytes: jax.Array) -> jax.Array:
 def crc32_fixed(buf: jax.Array, length: jax.Array, crc_init: jax.Array):
     """gzip CRC-32 of buf[:length] starting from ``crc_init``; jit/vmap-safe.
 
-    The valid prefix is rotated to the *end* of a power-of-two window
-    (leading zero bytes are the identity for the raw CRC register), then
-    reduced by the log-depth constant-matrix tree.
+    Bytes past ``length`` are masked to zero and the block reduction runs
+    over the whole padded window — the result is the register of
+    message ++ zeros[size - length], which one dynamic *inverse* advance
+    (INV_ADVANCE_POW2) rewinds to the true register.  This replaces the
+    old whole-buffer jnp.roll right-alignment: one less full memory pass.
     """
     n = buf.shape[0]
     size = _ceil_to(max(n, 1), CRC_BLOCK)
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     masked = jnp.where(idx < length, buf, 0)
-    pad = size - n
-    window = jnp.pad(masked, (pad, 0))
-    # Rotate right so that byte length-1 lands at the last slot (leading
-    # zero bytes are the identity for the raw register).
-    window = jnp.roll(window, size - pad - length)
+    window = jnp.pad(masked, (0, size - n))
 
     # Intra-block reduction on the MXU: packed-plane extraction, then one
     # exact int8 matmul against the constant contribution matrix, then
@@ -228,7 +231,8 @@ def crc32_fixed(buf: jax.Array, length: jax.Array, crc_init: jax.Array):
         left = v[0::2]
         right = v[1::2]
         v = _mat_vec_const(_ADV[_CRC_LOG_BLOCK + level], left) ^ right
-    raw = v[0]
+    # rewind the trailing zero padding, then fold in the advanced init
+    raw = _advance_dyn(v[0], size - length, mats=_IADV)
 
     init_reg = ~crc_init.astype(jnp.uint32)
     init_reg = _advance_dyn(init_reg, length)

@@ -90,6 +90,45 @@ def _make_advance_pow2(max_log: int = 40) -> np.ndarray:
 ADVANCE_POW2 = _make_advance_pow2()
 
 
+def _gf2_inverse(cols: np.ndarray) -> np.ndarray:
+    """Invert a GF(2) 32x32 matrix given as 32 uint32 columns.
+
+    The one-zero-byte advance is invertible (x has an inverse mod the CRC
+    polynomial, whose constant term is nonzero), so all its powers are.
+    Gauss-Jordan over packed u32 rows of the augmented [M | I]."""
+    # rows[i] bit j = M[i][j]; build from columns
+    m = np.zeros(32, np.uint64)
+    for j in range(32):
+        col = int(cols[j])
+        for i in range(32):
+            if (col >> i) & 1:
+                m[i] |= np.uint64(1) << np.uint64(j)
+    aug = m | (np.uint64(1) << (np.arange(32, dtype=np.uint64) + np.uint64(32)))
+    for col in range(32):
+        piv = next(i for i in range(col, 32)
+                   if (int(aug[i]) >> col) & 1)
+        aug[[col, piv]] = aug[[piv, col]]
+        for i in range(32):
+            if i != col and (int(aug[i]) >> col) & 1:
+                aug[i] ^= aug[col]
+    inv_rows = aug >> np.uint64(32)
+    out = np.zeros(32, np.uint32)
+    for j in range(32):
+        acc = 0
+        for i in range(32):
+            if (int(inv_rows[i]) >> j) & 1:
+                acc |= 1 << i
+        out[j] = acc
+    return out
+
+
+# INV_ADVANCE_POW2[j] rewinds the register past 2^j zero bytes — used by the
+# device kernel to undo end-padding instead of rolling the whole buffer so
+# the valid prefix right-aligns (saves one full memory pass per checksum).
+INV_ADVANCE_POW2 = np.stack([_gf2_inverse(ADVANCE_POW2[j])
+                             for j in range(ADVANCE_POW2.shape[0])])
+
+
 def advance(crc_reg, nbytes: int):
     """Advance raw CRC register(s) past ``nbytes`` zero bytes."""
     v = np.asarray(crc_reg, dtype=np.uint32)
