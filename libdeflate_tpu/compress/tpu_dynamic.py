@@ -274,13 +274,12 @@ SYM_POS_BITS = 16  # sym (9 bits) + position (16) = 25 bits in a u32 key
 def _sym_seg(n_pad: int) -> int:
     """Segment size for the symbol sort (positions fit SYM_POS_BITS).
 
-    Symbol sorts are segment-local by construction (hist sums per-row
-    boundary deltas; the translate telescopes per row), so the segment is
-    a pure speed knob: bitonic sort cost scales with log2(seg)^2, and 8K
-    segments measure ~30% cheaper than the original 64K with bit-identical
-    output streams."""
-    if n_pad % 8192 == 0 and n_pad > 8192:
-        return 8192
+    The segment is a pure speed knob (hist sums per-row boundary deltas;
+    the translate telescopes per row — streams are bit-identical at any
+    size).  8K segments were measured 40% SLOWER end-to-end than 64K
+    (0.0432 vs 0.0723 GB/s on the lean tier): the per-row searchsorted /
+    delta-scatter / prefix overheads beat the bitonic log^2 saving,
+    consistent with the round-1 matchfind-segment finding."""
     if n_pad <= 65536:
         return n_pad
     if n_pad % 65536 == 0:
