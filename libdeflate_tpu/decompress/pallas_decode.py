@@ -645,19 +645,68 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
                     bad = (okind == K_EOB) | (dist > oo3) | (oo3 + length > olen)
                     stt4 = jnp.where(bad, BAD_DATA, stt3)
 
-                    def copy(k, st3):
-                        oo4, _ = st3
-                        byte = ring_read(oo4 - dist)
-                        ring_write(oo4, byte)
-                        oo5 = oo4 + 1
+                    # The copy runs in ring-boundary segments so the flush
+                    # check leaves the per-byte loops, and the common cases
+                    # move word-at-a-time (the role of the reference
+                    # fastloop's 5-word overcopy + offset-1 broadcast,
+                    # decompress_template.h:574-670 — bounded exactly here
+                    # since SMEM has no overcopy slack):
+                    #   dist == 1: byte replicated into full-word stores
+                    #   dist >= 4: two src words shift-combine into one
+                    #     full-word store (src bytes strictly precede dst)
+                    #   dist 2..3: byte loop (rare)
+                    def byte_copy(oo5, nn):
+                        def bc(k, o):
+                            ring_write(o, ring_read(o - dist))
+                            return o + 1
+                        return jax.lax.fori_loop(0, nn, bc, oo5)
+
+                    def seg_cond(st3):
+                        _, rem = st3
+                        return rem > 0
+
+                    def seg_body(st3):
+                        oo4, rem = st3
+                        until = RING_W * 4 - (oo4 & (RING_W * 4 - 1))
+                        upto = jnp.minimum(rem, until)
+
+                        def fast_path():
+                            head = jnp.minimum((-oo4) & 3, upto)
+                            o_h = byte_copy(oo4, head)
+                            nw = _shr(upto - head, 2)
+
+                            def wc(k, o):
+                                src = o - dist
+                                sw = _shr(src, 2)
+                                sh = _shl(src & 3, 3)
+                                s0 = ring[sw & (RING_W - 1)]
+                                s1 = ring[(sw + 1) & (RING_W - 1)]
+                                comb = _shr(s0, sh) | _shl(
+                                    _shl(s1, 31 - sh), 1)
+                                val = jnp.where(
+                                    dist == 1,
+                                    ring_read(src) * jnp.int32(0x01010101),
+                                    comb)
+                                ring[_shr(o, 2) & (RING_W - 1)] = val
+                                return o + 4
+                            o_w = jax.lax.fori_loop(0, nw, wc, o_h)
+                            tail = upto - head - _shl(nw, 2)
+                            return byte_copy(o_w, tail)
+
+                        def slow_path():
+                            return byte_copy(oo4, upto)
+
+                        oo5 = jax.lax.cond(
+                            (dist >= 4) | (dist == 1), fast_path, slow_path)
 
                         @pl.when((oo5 & (RING_W * 4 - 1)) == 0)
                         def _():
                             flush(oo5)
-                        return (oo5, 0)
+                        return (oo5, rem - upto)
 
-                    oo6, _ = jax.lax.fori_loop(
-                        0, jnp.where(bad, 0, length), copy, (oo3, 0))
+                    oo6, _ = jax.lax.while_loop(
+                        seg_cond, seg_body,
+                        (oo3, jnp.where(bad, 0, length)))
                     return tt4, bb4, oo6, stt4, jnp.int32(0)
 
                 # literal overrun guard (known-size mode; pairs emit 2)
