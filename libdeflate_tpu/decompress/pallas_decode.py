@@ -80,7 +80,7 @@ PRECODE_PERM = np.array(
     [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15],
     np.int32)
 
-LTB = 11                       # litlen main-table bits
+LTB = 11                       # litlen main-table bits (13 measured a wash: table-build cost eats the extra pair coverage)
 OTB = 8                        # offset main-table bits
 PTB = 7                        # precode table bits
 LL_SIZE = (1 << LTB) + 294     # main + worst-case subtables
@@ -574,14 +574,37 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
             stat = jnp.where((ok_l == 0) | (ok_o == 0), BAD_DATA, stat)
 
             # ---- item loop ----
+            # The staging window covers ~600 items, so the refill check
+            # (`ensure`) and the decode-past-end guard hoist OUT of the
+            # per-item body into an outer budget loop: the inner loop
+            # decodes up to `budget` items with zero staging branches
+            # (an item consumes <= 48 bits; 64 is the safe divisor).
             # state: (t, base, op, status, eob)
-            def item_cond(st2):
+            def outer_cond(st2):
                 tt2, bb2, oo, stt, eob = st2
                 return (stt == OK) & (eob == 0)
 
-            def item_body(st2):
+            def outer_body(st2):
                 tt2, bb2, oo, stt, eob = st2
                 bb2 = ensure(tt2, bb2)
+                # decode-past-end guard (bounded overread: stop once the
+                # cursor passes the padded stage; padding is zeros)
+                stt = jnp.where(
+                    _shr(tt2, 5) > in_words + STAGE_W, BAD_DATA, stt)
+                budget = jnp.maximum(
+                    ((bb2 + STAGE_W - 2) * 32 - tt2) // 64, 1)
+                tt2, bb2, oo, stt, eob, _ = jax.lax.while_loop(
+                    item_cond, item_body,
+                    (tt2, bb2, oo, stt, eob, budget))
+                return tt2, bb2, oo, stt, eob
+
+            def item_cond(st2):
+                tt2, bb2, oo, stt, eob, budget = st2
+                return (stt == OK) & (eob == 0) & (budget > 0)
+
+            def item_body(st2):
+                tt2, bb2, oo, stt, eob, budget = st2
+                budget = budget - 1
                 w = peek32(tt2, bb2)
                 e = ll_tab[w & ((1 << LTB) - 1)]
                 kind = _shr(e, 12) & 3
@@ -595,10 +618,6 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
                 cl = _shr(e, 8) & 0xF
                 payload = _shr(e, 16)
                 tt2 = tt2 + consume
-                # decode-past-end guard (bounded overread: stop once the
-                # cursor passes the padded stage; padding is zeros)
-                stt = jnp.where(
-                    _shr(tt2, 5) > in_words + STAGE_W, BAD_DATA, stt)
 
                 def lit_case(tt3, bb3, oo3, stt3):
                     ring_write(oo3, payload & 0xFF)
@@ -626,7 +645,7 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
                 def match_case(tt3, bb3, oo3, stt3):
                     length = payload + (_shr(w, cl)
                                         & (_shl(1, consume - cl) - 1))
-                    bb4 = ensure(tt3, bb3)
+                    bb4 = bb3            # staged window covers the budget
                     w2 = peek32(tt3, bb4)
                     oe = of_tab[w2 & ((1 << OTB) - 1)]
                     okind = _shr(oe, 12) & 3
@@ -716,10 +735,10 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
                 tt2b, bb2b, oo2, stt2, eob2 = jax.lax.switch(
                     kind, [lit_case, match_case, eob_case, eob_case],
                     tt2, bb2, oo, stt)
-                return (tt2b, bb2b, oo2, stt2, eob2)
+                return (tt2b, bb2b, oo2, stt2, eob2, budget)
 
             tt, bb, oo, stt, _ = jax.lax.while_loop(
-                item_cond, item_body,
+                outer_cond, outer_body,
                 (tt, bb, op, stat, jnp.int32(0)))
             return tt, bb, oo, stt
 

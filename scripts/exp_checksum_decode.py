@@ -59,9 +59,9 @@ def main():
     from libdeflate_tpu.decompress.pallas_decode import decompress_chunks
 
     CH = 1 << 20
-    DB = 8
-    base = open("/root/reference/lib/deflate_compress.c", "rb").read()
-    data = (base * (CH * DB // len(base) + 1))[: CH * DB]
+    DB = 16
+    import bench as benchmod
+    data = benchmod.make_corpus(16)[: CH * DB]
     chunks = [data[i * CH:(i + 1) * CH] for i in range(DB)]
     comp = [zlib.compressobj(6, zlib.DEFLATED, -15) for _ in range(DB)]
     streams = [c.compress(ch) + c.flush() for c, ch in zip(comp, chunks)]
