@@ -636,7 +636,8 @@ def compress_chunks_optfast_pallas(bufs, lengths, bfinal, interpret=False):
     return _compress_chunks_optimal_pallas(
         bufs, lengths, bfinal, depth=6, two_pass=False, hash3=False,
         passes=2, use_content=False, use_wide=False,
-        ladder=LEN_LADDER_DENSE, interpret=interpret,
+        ladder=LEN_LADDER_DENSE2, ext_c=False, strides2=(),
+        interpret=interpret,
     )
 
 
