@@ -113,9 +113,16 @@ def measure_baseline_once(corpus_path: str, level: int = LEVEL):
 # Measured in priority order; the combined subprocess runs them all with
 # one first-compile penalty (the relay charges ~5-10 min for the FIRST
 # compile in a process), and any tier that failed to report gets one
-# retry in its own subprocess.
-TIER_NAMES = ["lean1-pallas", "dyn1-pallas", "optfast-pallas", "dyn1",
-              "opt2"]
+# retry in its own subprocess.  Round-3 pruning (VERDICT #7): `dyn1`
+# (dominated by dyn1-pallas: same ratio, slower) and `opt2` (dominated by
+# optfast-pallas on both axes) are out of the bench list; they remain
+# available in scripts/tier_matrix.py.
+TIER_NAMES = ["lean1-pallas", "dyn1-pallas", "optfast-pallas"]
+# Side metrics for the full BASELINE protocol (levels 1/12 + decompress,
+# reported on stderr so rounds stay comparable; the headline JSON line is
+# unchanged): dyn1-pallas doubles as the device ladder's level-1 endpoint,
+# deep-pallas is the level-12 endpoint.
+SIDE_TIER_NAMES = ["deep-pallas"]
 TIER_TIMEOUT_S = 2400        # combined run (pays first-compile once)
 TIER_RETRY_TIMEOUT_S = 1500  # per-tier fallback subprocess
 
@@ -128,10 +135,77 @@ def _tier_fn(name):
         "lean1-pallas": getattr(to, "compress_chunks_lean_pallas", None),
         "dyn1-pallas": getattr(td, "compress_chunks_dynamic_pallas", None),
         "optfast-pallas": getattr(to, "compress_chunks_optfast_pallas", None),
+        "deep-pallas": getattr(to, "compress_chunks_optimal_deep_pallas",
+                               None),
         "dyn1": td.compress_chunks_dynamic,
         "opt2-pallas": getattr(to, "compress_chunks_optimal2_pallas", None),
         "opt2": to.compress_chunks_optimal2,
     }[name]
+
+
+def run_decode(bufs, use_device: bool) -> None:
+    """Measure the decompress direction (the other half of the BASELINE
+    metric, programs/benchmark.c:430-538): our native engine and the Pallas
+    device decoder on level-6 streams of the same corpus.  Prints
+    `DEC <engine> <gbps>` lines."""
+    import time as _t
+
+    import numpy as _np
+
+    from libdeflate_tpu import api
+
+    comp = api.Compressor(6)
+    dec = api.Decompressor()
+    streams = [bytes(comp.deflate_compress(bufs[k].tobytes()))
+               for k in range(bufs.shape[0])]
+
+    # native fastloop engine
+    for k in range(bufs.shape[0]):  # warm + verify
+        r, out, _, _ = dec.deflate_decompress(streams[k], CHUNK,
+                                              known_size=True)
+        assert r == 0 and out == bufs[k].tobytes()
+    best = float("inf")
+    for _ in range(4):
+        t0 = _t.perf_counter()
+        for s in streams:
+            dec.deflate_decompress(s, CHUNK, known_size=True)
+        best = min(best, _t.perf_counter() - t0)
+    print(f"DEC native {bufs.shape[0] * CHUNK / best / 1e9:.6f}",
+          flush=True)
+
+    if not use_device:
+        return
+    import jax
+    import jax.numpy as jnp
+
+    from libdeflate_tpu.decompress import pallas_decode as pd
+
+    B = bufs.shape[0]
+    wmax = -(-(max(map(len, streams)) // 4 + 2 * pd.STAGE_W) // 1024) * 1024
+    cw = _np.zeros((B, wmax), _np.uint32)
+    clen = _np.zeros(B, _np.int32)
+    for k, s in enumerate(streams):
+        pad = (-len(s)) % 4
+        cw[k, : (len(s) + pad) // 4] = _np.frombuffer(s + b"\0" * pad,
+                                                      _np.uint32)
+        clen[k] = len(s)
+    cw_d = jax.device_put(jnp.asarray(cw))
+    clen_d = jax.device_put(jnp.asarray(clen))
+    olen_d = jax.device_put(jnp.full(B, CHUNK, _np.int32))
+    out, status, _, _ = pd.decompress_chunks_pallas(cw_d, clen_d, olen_d,
+                                                    CHUNK)
+    out.block_until_ready()
+    o = _np.asarray(out)
+    assert (_np.asarray(status) == 0).all()
+    assert all(o[k].tobytes() == bufs[k].tobytes() for k in range(B))
+    best = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        out, _, _, _ = pd.decompress_chunks_pallas(cw_d, clen_d, olen_d,
+                                                   CHUNK)
+        out.block_until_ready()
+        best = min(best, _t.perf_counter() - t0)
+    print(f"DEC pallas {B * CHUNK / best / 1e9:.6f}", flush=True)
 
 
 def run_tiers(names: list[str]) -> None:
@@ -172,6 +246,14 @@ def run_tiers(names: list[str]) -> None:
     # Pallas pack kernel overlaps the next batch's XLA ops only across
     # dispatch boundaries)
     for name in names:
+        if name == "decode":
+            try:
+                run_decode(
+                    bufs, use_device=jax.devices()[0].platform != "cpu")
+            except Exception as e:
+                msg = f"{type(e).__name__}: {e}".replace("\n", " ")[:200]
+                print(f"TIERFAIL decode {msg}", flush=True)
+            continue
         try:
             fn = _tier_fn(name)
             if fn is None:
@@ -213,6 +295,8 @@ def main() -> None:
     results = {}
     base_gbps, base_ratio = None, None
 
+    dec_results = {}
+
     def consume(stdout: str) -> list[str]:
         got = []
         for line in stdout.splitlines():
@@ -222,6 +306,11 @@ def main() -> None:
                 print(f"tier {parts[1]}: {parts[2]} GB/s ratio {parts[3]}",
                       file=sys.stderr)
                 got.append(parts[1])
+            elif len(parts) == 3 and parts[0] == "DEC":
+                dec_results[parts[1]] = float(parts[2])
+                print(f"decompress {parts[1]}: {parts[2]} GB/s",
+                      file=sys.stderr)
+                got.append("decode")
             elif parts and parts[0] == "TIERFAIL":
                 print(f"tier {parts[1]}: failed ({' '.join(parts[2:])})",
                       file=sys.stderr)
@@ -232,7 +321,7 @@ def main() -> None:
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--tiers",
-             ",".join(TIER_NAMES)],
+             ",".join(TIER_NAMES + SIDE_TIER_NAMES + ["decode"])],
             capture_output=True, text=True, timeout=TIER_TIMEOUT_S,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
@@ -276,10 +365,14 @@ def main() -> None:
 
     ref_ratio = base_ratio if base_ratio is not None \
         else FALLBACK_BASELINE_RATIO
-    qualifying = {k: v for k, v in results.items() if v[1] <= ref_ratio}
-    pool = qualifying or results
+    # headline pick: side tiers (L1/L12 endpoints) report but don't compete
+    head = {k: v for k, v in results.items() if k not in SIDE_TIER_NAMES}
+    qualifying = {k: v for k, v in head.items() if v[1] <= ref_ratio}
+    pool = qualifying or head
     pick = max(pool, key=lambda k: pool[k][0]) if pool else "none"
     gbps, our_ratio = results.get(pick, (0.0, 1.0))
+    for eng, g in sorted(dec_results.items()):
+        print(f"decompress_L6_{eng}_GBps: {g:.4f}", file=sys.stderr)
 
     if base_gbps is None:
         # Make the stale-baseline case impossible to miss: the JSON line

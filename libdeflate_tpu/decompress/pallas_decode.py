@@ -387,12 +387,13 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
         hi = _shl(_shl(stage[w + 1], 31 - s), 1)
         return lo | hi
 
-    def ensure(t, base):
-        """Refill staging if word(t)+1 is outside the window; returns base.
-        The refill base aligns down to 1024 words (DMA tile alignment), so
-        the effective window is STAGE_W - 1023 words (~4 KiB)."""
+    def ensure(t, base, margin: int = 1):
+        """Refill staging if word(t)+margin is outside the window; returns
+        base.  The refill base aligns down to 1024 words (DMA tile
+        alignment), so the effective window is STAGE_W - 1023 words
+        (~4 KiB).  margin=3 callers may peek up to 64 bits past t."""
         nb = _shl(_shr(jnp.minimum(_shr(t, 5), W - STAGE_W), 10), 10)
-        pred = _shr(t, 5) + 1 - base >= STAGE_W
+        pred = _shr(t, 5) + margin - base >= STAGE_W
 
         @pl.when(pred)
         def _():
@@ -400,16 +401,33 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
         return jnp.where(pred, nb, base)
 
     # ---- ring (LZ window) -------------------------------------------------
-    def ring_write(op, byte):
-        w = _shr(op, 2) & (RING_W - 1)
-        sh = _shl(op & 3, 3)
-        old = ring[w] & ~_shl(jnp.int32(0xFF), sh)
-        ring[w] = old | _shl(byte & 0xFF, sh)
+    # Output rides a carried partial-word register `cur`: cur always equals
+    # the bytes [4*(op>>2), op) of the current output word, and every write
+    # STORES cur to its ring slot (never a read-modify-write load).  The
+    # invariant "ring content is exact for all positions < op" lets match
+    # copies read the ring freely; slots at positions >= op are dead (their
+    # 32 KiB-older occupants were flushed when op crossed the previous
+    # boundary) so speculative stores to them are safe.
+    RINGB = RING_W * 4          # ring bytes (= DEFLATE window, 32 KiB)
+    RM = RING_W - 1
 
-    def ring_read(pos):
-        w = _shr(pos, 2) & (RING_W - 1)
+    def ring_byte(pos):
+        w = _shr(pos, 2) & RM
         sh = _shl(pos & 3, 3)
         return _shr(ring[w], sh) & 0xFF
+
+    def wr_byte(oo, cc, byte, flush_en: bool):
+        """Append one byte at oo via cur; returns (oo+1, cur').  With
+        flush_en, flushes exactly when oo+1 crosses a 32 KiB boundary."""
+        cc = cc | _shl(byte & 0xFF, _shl(oo & 3, 3))
+        ring[_shr(oo, 2) & RM] = cc
+        oo = oo + 1
+        cc = jnp.where((oo & 3) == 0, 0, cc)
+        if flush_en:
+            @pl.when((oo & (RINGB - 1)) == 0)
+            def _():
+                flush(oo)
+        return oo, cc
 
     def flush(op_end):
         """DMA the ring to out; called exactly at 32 KiB boundaries and at
@@ -436,47 +454,92 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
         cp.wait()
 
     # ---- block loop -------------------------------------------------------
-    # state: (t, base, op, status, final, done)
+    # state: (t, base, op, cur, status, final, done)
     def blk_cond(st):
-        t, base, op, status, final, done = st
+        t, base, op, cur, status, final, done = st
         return (done == 0) & (status == OK)
 
     def blk_body(st):
-        t, base, op, status, final, done = st
+        t, base, op, cur, status, final, done = st
         base = ensure(t, base)
         hdr = peek32(t, base)
         t = t + 3
         final = hdr & 1
         btype = _shr(hdr, 1) & 3
 
-        def do_stored(t, base, op):
-            # align, LEN/NLEN, byte copy through the ring
+        def do_stored(t, base, op, cur):
+            # align, LEN/NLEN, then a word-wise copy from the staged input
+            # (stored data is byte-aligned) to the ring — chunked by the
+            # staging window and the 32 KiB flush boundary so the word loop
+            # carries no checks (the role of the reference's stored-block
+            # memcpy, decompress_template.h:247-286)
             t2 = (t + 7) & ~7
             base2 = ensure(t2, base)
             v = peek32(t2, base2)
             ln = v & 0xFFFF
             nlen = _shr(v, 16) & 0xFFFF
-            bad = (ln ^ 0xFFFF) != nlen
+            bad = ((ln ^ 0xFFFF) != nlen) | (op + ln > olen)
             t3 = t2 + 32
+            ib0 = _shr(t3, 3)           # input byte cursor (t3 byte-aligned)
 
-            def copy(k, st2):
-                tt, bb, oo = st2
-                bb = ensure(tt, bb)
-                byte = peek32(tt, bb) & 0xFF
-                ring_write(oo, byte)
-                oo = oo + 1
+            def stage_byte(ib, bb):
+                wi = _shr(ib, 2) - bb
+                return _shr(stage[wi], _shl(ib & 3, 3)) & 0xFF
 
-                @pl.when((oo & (RING_W * 4 - 1)) == 0)
+            def cp_cond(s):
+                ib, bb, oo, cc, rem, stt = s
+                return (rem > 0) & (stt == OK)
+
+            def cp_body(s):
+                ib, bb, oo, cc, rem, stt = s
+                # margin=3 keeps >= 2 words staged past ib (word-funnel
+                # reads stage[wi+1]); the refill base never passes word(ib)
+                bb = ensure(_shl(ib, 3), bb, margin=3)
+                stage_left = _shl(bb + STAGE_W, 2) - ib - 8
+                stt = jnp.where(stage_left <= 0, BAD_DATA, stt)
+                room = jnp.maximum(
+                    jnp.minimum(jnp.minimum(stage_left,
+                                            RINGB - (oo & (RINGB - 1))),
+                                rem), 0)
+                hb = jnp.minimum((-oo) & 3, room)
+
+                def byte_step(k, s2):
+                    ib2, oo2, cc2 = s2
+                    oo2, cc2 = wr_byte(oo2, cc2, stage_byte(ib2, bb), False)
+                    return (ib2 + 1, oo2, cc2)
+
+                ib, oo, cc = jax.lax.fori_loop(0, hb, byte_step,
+                                               (ib, oo, cc))
+                mid = room - hb
+                nw = _shr(mid, 2)
+
+                def word_step(k, s2):
+                    ib2, oo2 = s2
+                    wi = _shr(ib2, 2) - bb
+                    sh = _shl(ib2 & 3, 3)
+                    wv = _shr(stage[wi], sh) | _shl(
+                        _shl(stage[wi + 1], 31 - sh), 1)
+                    ring[_shr(oo2, 2) & RM] = wv
+                    return (ib2 + 4, oo2 + 4)
+
+                ib, oo = jax.lax.fori_loop(0, nw, word_step, (ib, oo))
+                tb = mid - _shl(nw, 2)
+                ib, oo, cc = jax.lax.fori_loop(0, tb, byte_step,
+                                               (ib, oo, cc))
+
+                @pl.when((room > 0) & ((oo & (RINGB - 1)) == 0))
                 def _():
                     flush(oo)
-                return (tt + 8, bb, oo)
+                return (ib, bb, oo, cc, rem - room, stt)
 
-            t4, base3, op2 = jax.lax.fori_loop(
-                0, jnp.where(bad, 0, ln), copy, (t3, base2, op))
-            st_out = jnp.where(bad, BAD_DATA, OK)
-            return t4, base3, op2, st_out
+            ib, base3, op2, cur2, _, stt = jax.lax.while_loop(
+                cp_cond, cp_body,
+                (ib0, base2, op, cur, jnp.where(bad, 0, ln),
+                 jnp.int32(OK)))
+            st_out = jnp.where(bad, BAD_DATA, stt)
+            return _shl(ib, 3), base3, op2, cur2, st_out
 
-        def do_huffman(t, base, op, btype):
+        def do_huffman(t, base, op, cur, btype):
             # ---- table setup ----
             def static_tables():
                 def setl(i, _):
@@ -573,196 +636,242 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
                 jnp.int32(OF_SIZE), 2, aux, consts_ref)
             stat = jnp.where((ok_l == 0) | (ok_o == 0), BAD_DATA, stat)
 
-            # ---- item loop ----
-            # The staging window covers ~600 items, so the refill check
-            # (`ensure`) and the decode-past-end guard hoist OUT of the
-            # per-item body into an outer budget loop: the inner loop
-            # decodes up to `budget` items with zero staging branches
-            # (an item consumes <= 48 bits; 64 is the safe divisor).
-            # state: (t, base, op, status, eob)
-            def outer_cond(st2):
-                tt2, bb2, oo, stt, eob = st2
+            # ---- group loop ----
+            # One iteration = a branch-free LITERAL BURST followed by one
+            # non-literal item (match / EOB / budget-limited literal).  The
+            # burst's budget keeps it >= 8 bytes clear of the 32 KiB flush
+            # boundary and the output end, and >= 64 staged bits clear of
+            # the staging window, so its body carries ZERO checks: decode
+            # main-table entry, merge 1-2 bytes into the carried word
+            # `cur`, two unconditional stores (current word + speculative
+            # spill word — slots >= op are dead, see ring helpers), advance.
+            # This is the role of the reference fastloop's inline-literals
+            # path (decompress_template.h:366-434) re-shaped for a scalar
+            # core where branches cost ~5 ns and SMEM RMW loads ~6 ns.
+            LLM = jnp.int32((1 << LTB) - 1)
+            OFM = jnp.int32((1 << OTB) - 1)
+
+            def grp_cond(st2):
+                tt2, bb2, oo, cc, stt, eob = st2
                 return (stt == OK) & (eob == 0)
 
-            def outer_body(st2):
-                tt2, bb2, oo, stt, eob = st2
-                bb2 = ensure(tt2, bb2)
+            def grp_body(st2):
+                tt2, bb2, oo, cc, stt, eob = st2
+                bb2 = ensure(tt2, bb2, margin=3)
                 # decode-past-end guard (bounded overread: stop once the
                 # cursor passes the padded stage; padding is zeros)
                 stt = jnp.where(
                     _shr(tt2, 5) > in_words + STAGE_W, BAD_DATA, stt)
-                budget = jnp.maximum(
-                    ((bb2 + STAGE_W - 2) * 32 - tt2) // 64, 1)
-                tt2, bb2, oo, stt, eob, _ = jax.lax.while_loop(
-                    item_cond, item_body,
-                    (tt2, bb2, oo, stt, eob, budget))
-                return tt2, bb2, oo, stt, eob
+                bits_left = _shl(bb2 + STAGE_W - 1, 5) - tt2
+                room = jnp.minimum(RINGB - (oo & (RINGB - 1)), olen - oo)
+                # clamp BEFORE the (logical) shifts: a negative margin
+                # shifted logically becomes a huge budget and the burst
+                # would sail past the flush boundary
+                niter = jnp.minimum(
+                    _shr(jnp.maximum(bits_left - 64, 0), 4),
+                    _shr(jnp.maximum(room - 8, 0), 1))
+                w0 = peek32(tt2, bb2)
+                e0 = ll_tab[w0 & LLM]
 
-            def item_cond(st2):
-                tt2, bb2, oo, stt, eob, budget = st2
-                return (stt == OK) & (eob == 0) & (budget > 0)
+                def b_cond(s):
+                    t3, o3, c3, w3, e3, n3 = s
+                    return ((_shr(e3, 12) & 3) == K_LIT) & (n3 > 0)
 
-            def item_body(st2):
-                tt2, bb2, oo, stt, eob, budget = st2
-                budget = budget - 1
-                w = peek32(tt2, bb2)
-                e = ll_tab[w & ((1 << LTB) - 1)]
-                kind = _shr(e, 12) & 3
-                e = jnp.where(
-                    kind == K_SUB,
-                    ll_tab[_shr(e, 16)
-                           + (_shr(w, LTB) & (_shl(1, _shr(e, 8) & 0xF) - 1))],
-                    e)
+                def b_body(s):
+                    t3, o3, c3, w3, e3, n3 = s
+                    two = _shr(e3, 14) & 1
+                    pb = _shr(e3, 16) & jnp.where(two == 1, 0xFFFF, 0xFF)
+                    sh = _shl(o3 & 3, 3)
+                    c3 = c3 | _shl(pb, sh)
+                    wd = _shr(o3, 2) & RM
+                    ring[wd] = c3
+                    # speculative spill of the byte that crossed the word
+                    # boundary (two shifts keep the amount < 32)
+                    spill = _shr(_shr(pb, 1),
+                                 _shl(4 - (o3 & 3), 3) - 1)
+                    ring[(wd + 1) & RM] = spill
+                    o4 = o3 + 1 + two
+                    c3 = jnp.where(_shr(o4, 2) != _shr(o3, 2), spill, c3)
+                    t4 = t3 + (e3 & 0xFF)
+                    w4 = peek32(t4, bb2)
+                    e4 = ll_tab[w4 & LLM]
+                    return (t4, o4, c3, w4, e4, n3 - 1)
+
+                tt2, oo, cc, w, e, _ = jax.lax.while_loop(
+                    b_cond, b_body, (tt2, oo, cc, w0, e0, niter))
+
+                # resolve a subtable pointer (unconditional second load,
+                # index clamped when not a pointer)
+                is_sub = (_shr(e, 12) & 3) == K_SUB
+                sidx = (_shr(e, 16)
+                        + (_shr(w, LTB) & (_shl(1, _shr(e, 8) & 0xF) - 1)))
+                e = jnp.where(is_sub,
+                              ll_tab[jnp.where(is_sub, sidx, 0)], e)
                 kind = _shr(e, 12) & 3
                 consume = e & 0xFF
                 cl = _shr(e, 8) & 0xF
                 payload = _shr(e, 16)
-                tt2 = tt2 + consume
 
-                def lit_case(tt3, bb3, oo3, stt3):
-                    ring_write(oo3, payload & 0xFF)
-                    oo4 = oo3 + 1
+                def lit_case(tt3, bb3, oo3, cc3, stt3):
+                    # budget-limited or subtable literal: byte-at-a-time
+                    # with exact bounds + boundary flushes
+                    two = _shr(e, 14) & 1
+                    over = oo3 + 1 + two > olen
+                    stt4 = jnp.where(over, BAD_DATA, stt3)
+                    oo4, cc4 = wr_byte(oo3, cc3, payload & 0xFF, True)
+                    # unconditional second write: when two==0 it lands on a
+                    # dead slot (>= op) and the carried (oo, cc) ignore it
+                    cc5 = cc4 | _shl(_shr(e, 24) & 0xFF,
+                                     _shl(oo4 & 3, 3))
+                    ring[_shr(oo4, 2) & RM] = cc5
+                    oo5 = oo4 + 1
+                    cc5 = jnp.where((oo5 & 3) == 0, 0, cc5)
 
-                    @pl.when((oo4 & (RING_W * 4 - 1)) == 0)
+                    @pl.when((two == 1) & ((oo5 & (RINGB - 1)) == 0))
                     def _():
-                        flush(oo4)
-                    two = (_shr(e, 14) & 1) == 1
+                        flush(oo5)
+                    oo6 = jnp.where(two == 1, oo5, oo4)
+                    cc6 = jnp.where(two == 1, cc5, cc4)
+                    return (tt3 + consume, bb3, oo6, cc6, stt4,
+                            jnp.int32(0))
 
-                    @pl.when(two)
-                    def _():
-                        ring_write(oo4, _shr(e, 24) & 0xFF)
-
-                    @pl.when(two & (((oo4 + 1) & (RING_W * 4 - 1)) == 0))
-                    def _():
-                        flush(oo4 + 1)
-                    oo5 = oo4 + jnp.where(two, 1, 0)
-                    return tt3, bb3, oo5, stt3, jnp.int32(0)
-
-                def eob_case(tt3, bb3, oo3, stt3):
+                def eob_case(tt3, bb3, oo3, cc3, stt3):
                     stt4 = jnp.where(payload != 0, BAD_DATA, stt3)
-                    return tt3, bb3, oo3, stt4, jnp.int32(1)
+                    return (tt3 + consume, bb3, oo3, cc3, stt4,
+                            jnp.int32(1))
 
-                def match_case(tt3, bb3, oo3, stt3):
+                def bad_case(tt3, bb3, oo3, cc3, stt3):
+                    return (tt3, bb3, oo3, cc3, jnp.int32(BAD_DATA),
+                            jnp.int32(1))
+
+                def match_case(tt3, bb3, oo3, cc3, stt3):
                     length = payload + (_shr(w, cl)
                                         & (_shl(1, consume - cl) - 1))
-                    bb4 = bb3            # staged window covers the budget
-                    w2 = peek32(tt3, bb4)
-                    oe = of_tab[w2 & ((1 << OTB) - 1)]
-                    okind = _shr(oe, 12) & 3
+                    tt4 = tt3 + consume
+                    w2 = peek32(tt4, bb3)
+                    oe = of_tab[w2 & OFM]
+                    osub = (_shr(oe, 12) & 3) == K_SUB
+                    oidx = (_shr(oe, 16)
+                            + (_shr(w2, OTB)
+                               & (_shl(1, _shr(oe, 8) & 0xF) - 1)))
                     oe = jnp.where(
-                        okind == K_SUB,
-                        of_tab[_shr(oe, 16)
-                               + (_shr(w2, OTB)
-                                  & (_shl(1, _shr(oe, 8) & 0xF) - 1))],
-                        oe)
+                        osub, of_tab[jnp.where(osub, oidx, 0)], oe)
                     okind = _shr(oe, 12) & 3
                     ocons = oe & 0xFF
                     ocl = _shr(oe, 8) & 0xF
                     dist = _shr(oe, 16) + (_shr(w2, ocl)
                                            & (_shl(1, ocons - ocl) - 1))
-                    tt4 = tt3 + ocons
-                    bad = (okind == K_EOB) | (dist > oo3) | (oo3 + length > olen)
+                    tt5 = tt4 + ocons
+                    bad = ((okind != K_BASE) | (dist > oo3)
+                           | (oo3 + length > olen))
                     stt4 = jnp.where(bad, BAD_DATA, stt3)
+                    ln = jnp.where(bad, 0, length)
+                    crossing = (oo3 & (RINGB - 1)) + ln > RINGB
 
-                    # The copy runs in ring-boundary segments so the flush
-                    # check leaves the per-byte loops, and the common cases
-                    # move word-at-a-time (the role of the reference
-                    # fastloop's 5-word overcopy + offset-1 broadcast,
-                    # decompress_template.h:574-670 — bounded exactly here
+                    # Copy bodies (role of the reference fastloop's 5-word
+                    # overcopy + offset-1 broadcast + small-offset paths,
+                    # decompress_template.h:574-670 — exact-length here
                     # since SMEM has no overcopy slack):
-                    #   dist == 1: byte replicated into full-word stores
-                    #   dist >= 4: two src words shift-combine into one
-                    #     full-word store (src bytes strictly precede dst)
-                    #   dist 2..3: byte loop (rare)
-                    def byte_copy(oo5, nn):
-                        def bc(k, o):
-                            ring_write(o, ring_read(o - dist))
-                            return o + 1
-                        return jax.lax.fori_loop(0, nn, bc, oo5)
+                    #   dist==1 -> broadcast word stores (no loads)
+                    #   dist>=4 -> head/word-funnel/tail, no flush checks
+                    #   dist 2-3 or boundary-crossing -> guarded byte loop
+                    def byte_loop(oo4, cc4, nn):
+                        def bc(k, s3):
+                            o5, c5 = s3
+                            return wr_byte(o5, c5, ring_byte(o5 - dist),
+                                           True)
+                        return jax.lax.fori_loop(0, nn, bc, (oo4, cc4))
 
-                    def seg_cond(st3):
-                        _, rem = st3
-                        return rem > 0
+                    def head_tail(oo4, cc4, nn, val_of):
+                        def bc(k, s3):
+                            o5, c5 = s3
+                            return wr_byte(o5, c5, val_of(o5), False)
+                        return jax.lax.fori_loop(0, nn, bc, (oo4, cc4))
 
-                    def seg_body(st3):
-                        oo4, rem = st3
-                        until = RING_W * 4 - (oo4 & (RING_W * 4 - 1))
-                        upto = jnp.minimum(rem, until)
+                    def bcast_path(oo4, cc4):
+                        rep = ring_byte(oo4 - 1) * jnp.int32(0x01010101)
+                        hb = jnp.minimum((-oo4) & 3, ln)
+                        oo5, cc5 = head_tail(oo4, cc4, hb,
+                                             lambda o: rep)
+                        nw = _shr(ln - hb, 2)
 
-                        def fast_path():
-                            head = jnp.minimum((-oo4) & 3, upto)
-                            o_h = byte_copy(oo4, head)
-                            nw = _shr(upto - head, 2)
+                        def wstep(k, o5):
+                            ring[_shr(o5, 2) & RM] = rep
+                            return o5 + 4
+                        oo6 = jax.lax.fori_loop(0, nw, wstep, oo5)
+                        tb = ln - hb - _shl(nw, 2)
+                        # cc5 is 0 whenever the word loop ran (head reached
+                        # alignment); when ln < alignment distance it is the
+                        # live partial word (nw == tb == 0)
+                        return head_tail(oo6, cc5, tb, lambda o: rep)
 
-                            def wc(k, o):
-                                src = o - dist
-                                sw = _shr(src, 2)
-                                sh = _shl(src & 3, 3)
-                                s0 = ring[sw & (RING_W - 1)]
-                                s1 = ring[(sw + 1) & (RING_W - 1)]
-                                comb = _shr(s0, sh) | _shl(
-                                    _shl(s1, 31 - sh), 1)
-                                val = jnp.where(
-                                    dist == 1,
-                                    ring_read(src) * jnp.int32(0x01010101),
-                                    comb)
-                                ring[_shr(o, 2) & (RING_W - 1)] = val
-                                return o + 4
-                            o_w = jax.lax.fori_loop(0, nw, wc, o_h)
-                            tail = upto - head - _shl(nw, 2)
-                            return byte_copy(o_w, tail)
+                    def funnel_path(oo4, cc4):
+                        hb = jnp.minimum((-oo4) & 3, ln)
+                        oo5, cc5 = head_tail(
+                            oo4, cc4, hb, lambda o: ring_byte(o - dist))
+                        nw = _shr(ln - hb, 2)
 
-                        def slow_path():
-                            return byte_copy(oo4, upto)
+                        def wstep(k, o5):
+                            src = o5 - dist
+                            sw = _shr(src, 2)
+                            sh = _shl(src & 3, 3)
+                            s0 = ring[sw & RM]
+                            s1 = ring[(sw + 1) & RM]
+                            ring[_shr(o5, 2) & RM] = (
+                                _shr(s0, sh)
+                                | _shl(_shl(s1, 31 - sh), 1))
+                            return o5 + 4
+                        oo6 = jax.lax.fori_loop(0, nw, wstep, oo5)
+                        tb = ln - hb - _shl(nw, 2)
+                        return head_tail(oo6, cc5, tb,
+                                         lambda o: ring_byte(o - dist))
 
-                        oo5 = jax.lax.cond(
-                            (dist >= 4) | (dist == 1), fast_path, slow_path)
+                    oo7, cc7 = jax.lax.cond(
+                        crossing | ((dist >= 2) & (dist <= 3)),
+                        lambda: byte_loop(oo3, cc3, ln),
+                        lambda: jax.lax.cond(
+                            dist == 1,
+                            lambda: bcast_path(oo3, cc3),
+                            lambda: funnel_path(oo3, cc3)))
 
-                        @pl.when((oo5 & (RING_W * 4 - 1)) == 0)
-                        def _():
-                            flush(oo5)
-                        return (oo5, rem - upto)
+                    # a non-crossing copy can land exactly on the boundary
+                    @pl.when((ln > 0) & (~crossing)
+                             & ((oo7 & (RINGB - 1)) == 0))
+                    def _():
+                        flush(oo7)
+                    return tt5, bb3, oo7, cc7, stt4, jnp.int32(0)
 
-                    oo6, _ = jax.lax.while_loop(
-                        seg_cond, seg_body,
-                        (oo3, jnp.where(bad, 0, length)))
-                    return tt4, bb4, oo6, stt4, jnp.int32(0)
+                tt2, bb2, oo, cc, stt, eob = jax.lax.switch(
+                    kind, [lit_case, match_case, eob_case, bad_case],
+                    tt2, bb2, oo, cc, stt)
+                return (tt2, bb2, oo, cc, stt, eob)
 
-                # literal overrun guard (known-size mode; pairs emit 2)
-                n_emit = 1 + (_shr(e, 14) & 1)
-                over_lit = (kind == K_LIT) & (oo + n_emit > olen)
-                stt = jnp.where(over_lit, BAD_DATA, stt)
-                tt2b, bb2b, oo2, stt2, eob2 = jax.lax.switch(
-                    kind, [lit_case, match_case, eob_case, eob_case],
-                    tt2, bb2, oo, stt)
-                return (tt2b, bb2b, oo2, stt2, eob2, budget)
-
-            tt, bb, oo, stt, _ = jax.lax.while_loop(
-                outer_cond, outer_body,
-                (tt, bb, op, stat, jnp.int32(0)))
-            return tt, bb, oo, stt
+            tt, bb, oo, cc, stt, _ = jax.lax.while_loop(
+                grp_cond, grp_body,
+                (tt, bb, op, cur, stat, jnp.int32(0)))
+            return tt, bb, oo, cc, stt
 
         def huff_branch():
-            return do_huffman(t, base, op, btype)
+            return do_huffman(t, base, op, cur, btype)
 
         def stored_branch():
-            return do_stored(t, base, op)
+            return do_stored(t, base, op, cur)
 
         def bad_branch():
-            return t, base, op, jnp.int32(BAD_DATA)
+            return t, base, op, cur, jnp.int32(BAD_DATA)
 
-        t2, base2, op2, stat = jax.lax.cond(
+        t2, base2, op2, cur2, stat = jax.lax.cond(
             btype == 0, stored_branch,
             lambda: jax.lax.cond(btype == 3, bad_branch, huff_branch))
 
         status = jnp.where(status == OK, stat, status)
         done = jnp.where((final == 1) | (status != OK), 1, 0)
-        return (t2, base2, op2, status, final, done)
+        return (t2, base2, op2, cur2, status, final, done)
 
-    t, base, op, status, final, done = jax.lax.while_loop(
+    t, base, op, cur, status, final, done = jax.lax.while_loop(
         blk_cond, blk_body,
-        (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(OK),
-         jnp.int32(0), jnp.int32(0)))
+        (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+         jnp.int32(OK), jnp.int32(0), jnp.int32(0)))
 
     # known-size contract: short output is an error (strict mode only —
     # unknown-size callers read oplen instead)

@@ -82,6 +82,12 @@ def _per_shard_compress(bufs, lengths, bfinal, *, compress_fn):
     return words, total_bits, crcs, adlers, all_bits
 
 
+# jitted shard_map wrappers cached per (mesh, key) so repeated calls (and
+# the compress+decompress dryrun pair) reuse compiled executables instead
+# of re-tracing a fresh jit object every call
+_DP_CACHE: dict = {}
+
+
 def compress_chunks_dp(mesh: Mesh, bufs: np.ndarray, lengths: np.ndarray,
                        bfinal: np.ndarray, level: int = 1):
     """Compress [B, N] chunks data-parallel over the mesh.
@@ -91,17 +97,76 @@ def compress_chunks_dp(mesh: Mesh, bufs: np.ndarray, lengths: np.ndarray,
     """
     import functools
 
-    axis = mesh.axis_names[0]
-    spec_in = P(axis)
-    fn = shard_map(
-        functools.partial(_per_shard_compress, compress_fn=_chunk_compressor(level)),
-        mesh=mesh,
-        in_specs=(P(axis, None), spec_in, spec_in),
-        out_specs=(P(axis, None), spec_in, spec_in, spec_in, P(None)),
-        check_vma=False,
-    )
-    jfn = jax.jit(fn)
+    key = ("compress", mesh, level)
+    jfn = _DP_CACHE.get(key)
+    if jfn is None:
+        axis = mesh.axis_names[0]
+        spec_in = P(axis)
+        fn = shard_map(
+            functools.partial(
+                _per_shard_compress, compress_fn=_chunk_compressor(level)),
+            mesh=mesh,
+            in_specs=(P(axis, None), spec_in, spec_in),
+            out_specs=(P(axis, None), spec_in, spec_in, spec_in, P(None)),
+            check_vma=False,
+        )
+        jfn = _DP_CACHE[key] = jax.jit(fn)
     return jfn(jnp.asarray(bufs), jnp.asarray(lengths), jnp.asarray(bfinal))
+
+
+def _per_shard_decompress(bufs, in_lens, out_lens, *, decode_fn):
+    """Runs on each device: decode local chunks, then all-gather the
+    produced sizes so every shard knows the global output layout (the
+    decode-direction mirror of _per_shard_compress)."""
+    out, oplens, consumed, status = decode_fn(bufs, in_lens)
+    # known-size contract at the mesh layer: short/long output is BAD_DATA
+    status = jnp.where(
+        (status == 0) & (oplens != out_lens), jnp.int32(1), status
+    )
+    all_lens = jax.lax.all_gather(oplens, "chunks", tiled=True)
+    return out, oplens, consumed, status, all_lens
+
+
+def decompress_chunks_dp(mesh: Mesh, bufs: np.ndarray, in_lens: np.ndarray,
+                         out_lens: np.ndarray, out_cap: int,
+                         decoder: str = "auto"):
+    """Decompress [B, N] raw-DEFLATE chunk fragments data-parallel over the
+    mesh (the decode direction of compress_chunks_dp; per-chunk independent
+    streams exactly like the reference's chunked usage model,
+    programs/benchmark.c:430-538).
+
+    decoder: "pallas" (scalar-core kernel, TPU), "fsm" (pure-JAX jitted
+    decoder, any backend), or "auto" (pallas on TPU meshes, fsm elsewhere).
+    Returns (out [B, out_cap] u8, out_lens [B], consumed [B], status [B],
+    all_lens [B]).
+    """
+    import functools
+
+    if decoder == "auto":
+        platform = next(iter(np.asarray(mesh.devices).flat)).platform
+        decoder = "pallas" if platform == "tpu" else "fsm"
+
+    key = ("decompress", mesh, decoder, out_cap)
+    jfn = _DP_CACHE.get(key)
+    if jfn is None:
+        if decoder == "pallas":
+            from ..decompress.pallas_decode import decompress_chunks as _dc
+        else:
+            from ..decompress.tpu import decompress_chunks as _dc
+        decode_fn = lambda b, l: _dc(b, l, out_cap)  # noqa: E731
+
+        axis = mesh.axis_names[0]
+        spec = P(axis)
+        fn = shard_map(
+            functools.partial(_per_shard_decompress, decode_fn=decode_fn),
+            mesh=mesh,
+            in_specs=(P(axis, None), spec, spec),
+            out_specs=(P(axis, None), spec, spec, spec, P(None)),
+            check_vma=False,
+        )
+        jfn = _DP_CACHE[key] = jax.jit(fn)
+    return jfn(jnp.asarray(bufs), jnp.asarray(in_lens),
+               jnp.asarray(out_lens))
 
 
 def pad_chunks(data: bytes, chunk_size: int, multiple_of: int):
