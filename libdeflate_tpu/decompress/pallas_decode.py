@@ -712,138 +712,121 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
                 cl = _shr(e, 8) & 0xF
                 payload = _shr(e, 16)
 
-                def lit_case(tt3, bb3, oo3, cc3, stt3):
-                    # budget-limited or subtable literal: byte-at-a-time
-                    # with exact bounds + boundary flushes
-                    two = _shr(e, 14) & 1
-                    over = oo3 + 1 + two > olen
-                    stt4 = jnp.where(over, BAD_DATA, stt3)
-                    oo4, cc4 = wr_byte(oo3, cc3, payload & 0xFF, True)
-                    # unconditional second write: when two==0 it lands on a
-                    # dead slot (>= op) and the carried (oo, cc) ignore it
-                    cc5 = cc4 | _shl(_shr(e, 24) & 0xFF,
-                                     _shl(oo4 & 3, 3))
-                    ring[_shr(oo4, 2) & RM] = cc5
-                    oo5 = oo4 + 1
-                    cc5 = jnp.where((oo5 & 3) == 0, 0, cc5)
+                # ---- flattened non-literal item ----
+                # Every outcome (match / budget-limited literal / EOB /
+                # bad) funnels through ONE masked word-copy loop, so the
+                # only control flow left is the rare boundary-crossing
+                # slow path.  The offset CODE index reuses `w` (consume +
+                # OTB <= 32 always holds), letting the of_tab load issue
+                # before the second peek resolves; subtable index and
+                # extra bits come from the tt4 peek.
+                is_lit = kind == K_LIT
+                two = _shr(e, 14) & 1
+                is_eob = (kind == K_EOB) & (payload == 0)
+                is_badk = ((kind == K_EOB) & (payload != 0)) | (kind == K_SUB)
+                is_mat = kind == K_BASE
 
-                    @pl.when((two == 1) & ((oo5 & (RINGB - 1)) == 0))
-                    def _():
-                        flush(oo5)
-                    oo6 = jnp.where(two == 1, oo5, oo4)
-                    cc6 = jnp.where(two == 1, cc5, cc4)
-                    return (tt3 + consume, bb3, oo6, cc6, stt4,
-                            jnp.int32(0))
+                length = ((payload & 0x7FFF)
+                          + (_shr(w, cl) & (_shl(1, consume - cl) - 1)))
+                tt4 = tt2 + consume
+                oe = of_tab[_shr(w, consume) & OFM]
+                w2 = peek32(tt4, bb2)
+                osub = (_shr(oe, 12) & 3) == K_SUB
+                oidx = (_shr(oe, 16)
+                        + (_shr(w2, OTB) & (_shl(1, _shr(oe, 8) & 0xF) - 1)))
+                oe = jnp.where(osub, of_tab[jnp.where(osub, oidx, 0)], oe)
+                okind = _shr(oe, 12) & 3
+                ocons = oe & 0xFF
+                ocl = _shr(oe, 8) & 0xF
+                dist = (_shr(oe, 16)
+                        + (_shr(w2, ocl) & (_shl(1, ocons - ocl) - 1)))
 
-                def eob_case(tt3, bb3, oo3, cc3, stt3):
-                    stt4 = jnp.where(payload != 0, BAD_DATA, stt3)
-                    return (tt3 + consume, bb3, oo3, cc3, stt4,
-                            jnp.int32(1))
+                tt2 = tt4 + jnp.where(is_mat, ocons, 0)
+                nb = 1 + two
+                bad = (is_badk
+                       | (is_mat & ((okind != K_BASE) | (dist > oo)
+                                    | (oo + length > olen)))
+                       | (is_lit & (oo + nb > olen)))
+                stt = jnp.where(bad, BAD_DATA, stt)
+                eob = jnp.where(is_eob & (~bad), 1, eob)
+                ln = jnp.where(bad | is_eob, 0,
+                               jnp.where(is_lit, nb, length))
+                d_eff = jnp.where(is_lit, nb, jnp.maximum(dist, 1))
 
-                def bad_case(tt3, bb3, oo3, cc3, stt3):
-                    return (tt3, bb3, oo3, cc3, jnp.int32(BAD_DATA),
-                            jnp.int32(1))
+                # pattern word for short periods (literal bytes / dist
+                # 1-3): q byte j = src byte ((j - (op&3)) mod d_eff)
+                b0 = jnp.where(is_lit, payload & 0xFF,
+                               ring_byte(oo - d_eff))
+                b1 = jnp.where(is_lit, _shr(e, 24) & 0xFF,
+                               ring_byte(oo - d_eff + 1))
+                b2 = ring_byte(oo - d_eff + 2)
+                sh_lo = oo & 3
+                q1 = b0 * jnp.int32(0x01010101)
+                pair_a = b0 | _shl(b1, 8)
+                pair_b = b1 | _shl(b0, 8)
+                q2 = jnp.where((sh_lo & 1) == 0,
+                               pair_a | _shl(pair_a, 16),
+                               pair_b | _shl(pair_b, 16))
+                q3a = b0 | _shl(b1, 8) | _shl(b2, 16) | _shl(b0, 24)
+                q3b = b2 | _shl(b0, 8) | _shl(b1, 16) | _shl(b2, 24)
+                q3c = b1 | _shl(b2, 8) | _shl(b0, 16) | _shl(b1, 24)
+                r3 = sh_lo - jnp.where(sh_lo >= 3, 3, 0)
+                q3 = jnp.where(r3 == 0, q3a, jnp.where(r3 == 1, q3b, q3c))
+                q0 = jnp.where(d_eff == 1, q1,
+                               jnp.where(d_eff == 2, q2, q3))
+                use_pat = is_lit | (d_eff < 4)
+                crossing = (oo & (RINGB - 1)) + ln > RINGB
 
-                def match_case(tt3, bb3, oo3, cc3, stt3):
-                    length = payload + (_shr(w, cl)
-                                        & (_shl(1, consume - cl) - 1))
-                    tt4 = tt3 + consume
-                    w2 = peek32(tt4, bb3)
-                    oe = of_tab[w2 & OFM]
-                    osub = (_shr(oe, 12) & 3) == K_SUB
-                    oidx = (_shr(oe, 16)
-                            + (_shr(w2, OTB)
-                               & (_shl(1, _shr(oe, 8) & 0xF) - 1)))
-                    oe = jnp.where(
-                        osub, of_tab[jnp.where(osub, oidx, 0)], oe)
-                    okind = _shr(oe, 12) & 3
-                    ocons = oe & 0xFF
-                    ocl = _shr(oe, 8) & 0xF
-                    dist = _shr(oe, 16) + (_shr(w2, ocl)
-                                           & (_shl(1, ocons - ocl) - 1))
-                    tt5 = tt4 + ocons
-                    bad = ((okind != K_BASE) | (dist > oo3)
-                           | (oo3 + length > olen))
-                    stt4 = jnp.where(bad, BAD_DATA, stt3)
-                    ln = jnp.where(bad, 0, length)
-                    crossing = (oo3 & (RINGB - 1)) + ln > RINGB
+                def fast_copy():
+                    mlo = _shl(1, _shl(sh_lo, 3)) - 1
+                    w0i = _shr(oo, 2)
+                    nw = _shr(sh_lo + ln + 3, 2)
 
-                    # Copy bodies (role of the reference fastloop's 5-word
-                    # overcopy + offset-1 broadcast + small-offset paths,
-                    # decompress_template.h:574-670 — exact-length here
-                    # since SMEM has no overcopy slack):
-                    #   dist==1 -> broadcast word stores (no loads)
-                    #   dist>=4 -> head/word-funnel/tail, no flush checks
-                    #   dist 2-3 or boundary-crossing -> guarded byte loop
-                    def byte_loop(oo4, cc4, nn):
-                        def bc(k, s3):
-                            o5, c5 = s3
-                            return wr_byte(o5, c5, ring_byte(o5 - dist),
-                                           True)
-                        return jax.lax.fori_loop(0, nn, bc, (oo4, cc4))
+                    def step(k, st3):
+                        q, last = st3
+                        src = _shl(w0i + k, 2) - dist
+                        sw = _shr(src, 2)
+                        shs = _shl(src & 3, 3)
+                        s0_ = ring[sw & RM]
+                        s1_ = ring[(sw + 1) & RM]
+                        f = _shr(s0_, shs) | _shl(_shl(s1_, 31 - shs), 1)
+                        v = jnp.where(use_pat, q, f)
+                        stv = jnp.where(k == 0, (cc & mlo) | (v & ~mlo), v)
+                        ring[(w0i + k) & RM] = stv
+                        # period-3 advance: shift one byte and refill byte 3
+                        # with the new byte 0 (4-byte rotate would wrongly
+                        # wrap the old byte 0 in)
+                        qr = _shr(q, 8) & 0x00FFFFFF
+                        q = jnp.where(d_eff == 3,
+                                      qr | _shl(qr & 0xFF, 24), q)
+                        return (q, stv)
 
-                    def head_tail(oo4, cc4, nn, val_of):
-                        def bc(k, s3):
-                            o5, c5 = s3
-                            return wr_byte(o5, c5, val_of(o5), False)
-                        return jax.lax.fori_loop(0, nn, bc, (oo4, cc4))
+                    _, last = jax.lax.fori_loop(0, nw, step, (q0, cc))
+                    end = oo + ln
+                    me = _shl(1, _shl(end & 3, 3)) - 1
+                    ccn = jnp.where((end & 3) == 0, 0, last & me)
+                    ccn = jnp.where(ln == 0, cc, ccn)
+                    return end, ccn
 
-                    def bcast_path(oo4, cc4):
-                        rep = ring_byte(oo4 - 1) * jnp.int32(0x01010101)
-                        hb = jnp.minimum((-oo4) & 3, ln)
-                        oo5, cc5 = head_tail(oo4, cc4, hb,
-                                             lambda o: rep)
-                        nw = _shr(ln - hb, 2)
+                def slow_copy():
+                    # boundary-crossing copy: per byte with exact flushes
+                    def bc(k, s3):
+                        o5, c5 = s3
+                        vb = jnp.where(
+                            is_lit,
+                            jnp.where((k & 1) == 0, payload & 0xFF,
+                                      _shr(e, 24) & 0xFF),
+                            ring_byte(o5 - dist))
+                        return wr_byte(o5, c5, vb, True)
+                    return jax.lax.fori_loop(0, ln, bc, (oo, cc))
 
-                        def wstep(k, o5):
-                            ring[_shr(o5, 2) & RM] = rep
-                            return o5 + 4
-                        oo6 = jax.lax.fori_loop(0, nw, wstep, oo5)
-                        tb = ln - hb - _shl(nw, 2)
-                        # cc5 is 0 whenever the word loop ran (head reached
-                        # alignment); when ln < alignment distance it is the
-                        # live partial word (nw == tb == 0)
-                        return head_tail(oo6, cc5, tb, lambda o: rep)
+                oo, cc = jax.lax.cond(crossing, slow_copy, fast_copy)
 
-                    def funnel_path(oo4, cc4):
-                        hb = jnp.minimum((-oo4) & 3, ln)
-                        oo5, cc5 = head_tail(
-                            oo4, cc4, hb, lambda o: ring_byte(o - dist))
-                        nw = _shr(ln - hb, 2)
-
-                        def wstep(k, o5):
-                            src = o5 - dist
-                            sw = _shr(src, 2)
-                            sh = _shl(src & 3, 3)
-                            s0 = ring[sw & RM]
-                            s1 = ring[(sw + 1) & RM]
-                            ring[_shr(o5, 2) & RM] = (
-                                _shr(s0, sh)
-                                | _shl(_shl(s1, 31 - sh), 1))
-                            return o5 + 4
-                        oo6 = jax.lax.fori_loop(0, nw, wstep, oo5)
-                        tb = ln - hb - _shl(nw, 2)
-                        return head_tail(oo6, cc5, tb,
-                                         lambda o: ring_byte(o - dist))
-
-                    oo7, cc7 = jax.lax.cond(
-                        crossing | ((dist >= 2) & (dist <= 3)),
-                        lambda: byte_loop(oo3, cc3, ln),
-                        lambda: jax.lax.cond(
-                            dist == 1,
-                            lambda: bcast_path(oo3, cc3),
-                            lambda: funnel_path(oo3, cc3)))
-
-                    # a non-crossing copy can land exactly on the boundary
-                    @pl.when((ln > 0) & (~crossing)
-                             & ((oo7 & (RINGB - 1)) == 0))
-                    def _():
-                        flush(oo7)
-                    return tt5, bb3, oo7, cc7, stt4, jnp.int32(0)
-
-                tt2, bb2, oo, cc, stt, eob = jax.lax.switch(
-                    kind, [lit_case, match_case, eob_case, bad_case],
-                    tt2, bb2, oo, cc, stt)
+                # a non-crossing item can land exactly on the boundary
+                @pl.when((ln > 0) & (~crossing)
+                         & ((oo & (RINGB - 1)) == 0))
+                def _():
+                    flush(oo)
                 return (tt2, bb2, oo, cc, stt, eob)
 
             tt, bb, oo, cc, stt, _ = jax.lax.while_loop(
