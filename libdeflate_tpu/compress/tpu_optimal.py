@@ -113,26 +113,52 @@ def _ladder_costs():
 _LADDER_COSTS = _ladder_costs()
 
 
+def _byte_table_select(bp: jax.Array, cost: jax.Array) -> jax.Array:
+    """Exact per-position cost[bp[i]] for a [256] table of byte-sized
+    values via a packed-word binary select tree: the table rides as 64
+    u32 words (4 costs each), selected per position over the 6 high index
+    bits (63 selects total), then the byte is extracted arithmetically.
+    ~1.5 ms/4 MiB vs ~6 ms for the sort-based translate — small tables
+    beat the segment sort; the 318-symbol emit table does not (tree cost
+    scales with table size, the sort with n log^2 n)."""
+    c = cost.astype(jnp.uint32).reshape(64, 4)
+    words = (c[:, 0] | (c[:, 1] << jnp.uint32(8))
+             | (c[:, 2] << jnp.uint32(16)) | (c[:, 3] << jnp.uint32(24)))
+    idx = (bp >> jnp.uint8(2)).astype(jnp.int32)
+    level = [jnp.broadcast_to(words[k], bp.shape) for k in range(64)]
+    for bit in range(6):
+        b = ((idx >> bit) & 1) == 1
+        level = [jnp.where(b, level[2 * k + 1], level[2 * k])
+                 for k in range(len(level) // 2)]
+    sh = ((bp & jnp.uint8(3)).astype(jnp.uint32)) << jnp.uint32(3)
+    return ((level[0] >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
+
+
 def _literal_costs(bp: jax.Array, length: jax.Array, n_pad: int,
-                   table: jax.Array | None = None, cache=None):
+                   table: jax.Array | None = None, cache=None,
+                   sample: int = 1):
     """Per-position literal cost (1/16-bit units) from the chunk's byte
-    histogram, via one byte-alphabet segment sort: the sort yields the
-    histogram (searchsorted boundaries) AND the per-position cost
-    translation (boundary-delta + prefix sum) — zero gathers.
+    histogram: one 1-operand byte-alphabet segment sort yields the
+    histogram (searchsorted boundaries); the per-position translation
+    goes through the packed-word select tree (_byte_table_select) — the
+    costs are <= 15*BIT = 240, one byte each.
 
     With ``table`` (a [256] i32 cost table, e.g. real code lengths * 16),
-    the histogram entropy seeding is skipped and bytes translate through
-    the given costs instead.  ``cache`` (returned as the second output)
-    carries the sorted keys across cost passes — the byte array never
-    changes, only the table does, so iterated refinement pays the sort
-    once."""
-    seg = _sym_seg(n_pad)
-    if cache is None:
-        pos = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0]
-        sym = jnp.where(pos < length, bp.astype(jnp.int32), 256)
-        cache = _sort_syms(sym, seg, nsym=257)
-    sk, starts, hist = cache
+    the histogram entropy seeding is skipped entirely and bytes translate
+    through the given costs (no sort at all).  ``cache`` (returned as the
+    second output) carries the histogram sort across cost passes."""
     if table is None:
+        # seeding histogram; `sample` strides the byte array (the seed
+        # needs frequencies, not exact counts — a 4x sample shrinks the
+        # sort by 4x for a sub-0.01pp ratio effect, measured)
+        n_s = n_pad // sample
+        seg = _sym_seg(n_s)
+        if cache is None:
+            pos = jax.lax.broadcasted_iota(jnp.int32, (n_s, 1), 0)[:, 0]
+            sym = jnp.where(pos * sample < length,
+                            bp[::sample].astype(jnp.int32), 256)
+            cache = _sort_syms(sym, seg, nsym=257)
+        _, _, hist = cache
         h = hist[:256]
         total = jnp.maximum(jnp.sum(h), 1).astype(jnp.float32)
         # cost = -16*log2(p), clamped to [1, 15] bits (the dynamic-code cap)
@@ -141,9 +167,9 @@ def _literal_costs(bp: jax.Array, length: jax.Array, n_pad: int,
         cost = jnp.where(h > 0, cost, 15 * BIT)
     else:
         cost = jnp.where(table > 0, table, 14 * BIT).astype(jnp.int32)
-    table_full = jnp.concatenate([cost, jnp.zeros(1, jnp.int32)])
-    # costs <= 15*BIT = 240 < 2**8: the un-permute rides one packed operand
-    return _translate(sk, starts, table_full, seg, nsym=257, vbits=8), cache
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0]
+    c_at = _byte_table_select(bp, cost)
+    return jnp.where(pos < length, c_at, 0), cache
 
 
 def _dist_cost(dist: jax.Array) -> jax.Array:
@@ -342,7 +368,9 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
                         use_wide: bool = True, ladder=LEN_LADDER,
                         ext_c: bool = True, lcp: int = 16,
                         row_lit1: bool = False,
-                        strides2=(1, 2, 4, 8, 16, 32, 64, 128)):
+                        strides2=(1, 2, 4, 8, 16, 32, 64, 128),
+                        strides1=(1, 2, 4, 8, 16, 32, 64, 128),
+                        lit_sample: int = 1):
     """Candidate generation + cost seeding + DP + commit, optionally
     iterated: pass k >= 2 re-derives symbol costs from pass k-1's real
     code lengths and re-runs the DP (the reference's iterated cost
@@ -351,7 +379,7 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
     bp, pos, lenA, dA, lenB, dB, lenC, dC, d3 = _parse_candidates(
         b, length, depth=depth, two_pass=two_pass, hash3=hash3,
         wide_window=wide_window, use_content=use_content, use_wide=use_wide,
-        ext_c=ext_c, lcp=lcp, strides2=strides2,
+        ext_c=ext_c, lcp=lcp, strides2=strides2, strides1=strides1,
     )
     n_pad = bp.shape[0]
     S_eff = S if (n_pad % S == 0 and n_pad >= S) else n_pad
@@ -474,6 +502,9 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
                                     lcp8: bool = False,
                                     lcp: int = 16,
                                     strides2=(1, 2, 4, 8, 16, 32, 64, 128),
+                                    strides1=(1, 2, 4, 8, 16, 32, 64, 128),
+                                    lit_sample: int = 1,
+                                    pm_group: int = 128,
                                     interpret: bool = False):
     from .pallas_kernels import dp_parse_pallas, pack_groups_pallas
     from .tpu_dynamic import (
@@ -492,9 +523,10 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
             b, length, depth=depth, two_pass=two_pass, hash3=hash3,
             wide_window=not (two_pass or hash3), use_content=use_content,
             use_wide=use_wide, ext_c=ext_c,
-            lcp=8 if lcp8 else lcp, strides2=strides2,
+            lcp=8 if lcp8 else lcp, strides2=strides2, strides1=strides1,
         )
-        cost_lit, lit_cache = _literal_costs(bp, length, bp.shape[0])
+        cost_lit, lit_cache = _literal_costs(bp, length, bp.shape[0],
+                                             sample=lit_sample)
         return (bp, pos, cost_lit, lenA, dA, lenB, dB, lenC, dC, d3,
                 lit_cache)
 
@@ -588,7 +620,10 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
             refine_passes=refine,
         )
         capw = DYN_CAPW_DEEP if refine else DYN_CAPW
-        sbuf, gw = _group_premerge(val, nb, offs, capw=capw)
+        # smaller premerge groups shrink the [m, group, capw] merge tensor
+        # (capw scales with the group's worst-case bits)
+        capw = (capw - 1) * pm_group // 128 + 1
+        sbuf, gw = _group_premerge(val, nb, offs, capw=capw, group=pm_group)
         return sbuf, gw, aux
 
     sbuf, gw, aux = jax.vmap(back)(
@@ -658,5 +693,5 @@ def compress_chunks_lean_pallas(bufs, lengths, bfinal, interpret=False):
         bufs, lengths, bfinal, depth=6, two_pass=False, hash3=False,
         passes=1, use_content=False, use_wide=False,
         ladder=LEN_LADDER_DENSE2, ext_c=False, strides2=(), refine=0,
-        interpret=interpret,
+        lit_sample=4, interpret=interpret,
     )

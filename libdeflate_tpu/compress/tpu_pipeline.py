@@ -272,14 +272,31 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
         dist = jnp.where(eq4, dist, jnp.uint32(0))
         return mlen, dist, fine
 
+    # Packed-compare selection: pay = mlen<<18 | fine<<16 | (W+1 - dist)
+    # orders (mlen, fine, -dist) lexicographically, so ONE u32 maximum per
+    # probe implements the better-candidate rule with min-distance tie
+    # breaking (ties at equal length prefer the cheaper offset — weakly
+    # better than keeping the incumbent).  dist==0 (no match) packs to
+    # W+1, below every valid pay because its mlen field is 0.
+    INVD = jnp.uint32(WINDOW + 1)
+
+    def pack_inv(m2, d2, f2):
+        return (m2 << jnp.uint32(18)) | (f2 << jnp.uint32(16)) | (INVD - d2)
+
+    def unpack_inv(p):
+        return (
+            p >> jnp.uint32(18),
+            (INVD - (p & jnp.uint32(0xFFFF)))
+            & jnp.uint32(0xFFFF),
+            (p >> jnp.uint32(16)) & jnp.uint32(3),
+        )
+
     mlen, dist, fine = probe(1)
     if not (wide_ext or return_pair or return_triple):
+        pay = pack_inv(mlen, dist, fine)
         for d in range(2, depth + 1):
-            m2, d2, f2 = probe(d)
-            better = (m2 > mlen) | ((m2 == mlen) & (f2 > fine))
-            mlen = jnp.where(better, m2, mlen)
-            dist = jnp.where(better, d2, dist)
-            fine = jnp.where(better, f2, fine)
+            pay = jnp.maximum(pay, pack_inv(*probe(d)))
+        mlen, dist, fine = unpack_inv(pay)
         payload = (mlen << jnp.uint32(18)) | (fine << jnp.uint32(16)) | dist
         _, pay = jax.lax.sort((slp, payload), num_keys=1, dimension=1)
         pay = pay.reshape(n)
@@ -291,48 +308,69 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
     # Deep tier: LCP-capped candidates tie at 16, and choosing the wrong one
     # truncates the chain extension (a capped-16 candidate may continue for
     # 200 bytes while another stops at 18 — the compare can't tell).  Keep
-    # the best AND the best-with-a-different-distance, extend both chains in
-    # position space, and commit whichever extends farther.  The second
-    # payload rides the same sorts (sort cost is payload-count-insensitive
-    # on this chip).
-    z = jnp.zeros_like(mlen)
+    # the best AND the best-with-a-different-distance (exactly the best
+    # runner-up, computed from the packed probes), extend both chains in
+    # position space, and commit whichever extends farther.
     # candidate C: the nearest same-hash occurrence (probe distance 1 in
     # sorted order IS the closest previous position) — the DP wants the
     # minimum-distance option per rung, which A/B (longest two) may miss
     mlenC, distC, fineC = mlen, dist, fine
-    mlen2, dist2, fine2 = z, z, z
+    pays = [pack_inv(mlen, dist, fine)]
     for d in range(2, depth + 1):
-        m2, d2, f2 = probe(d)
-        better = (m2 > mlen) | ((m2 == mlen) & (f2 > fine))
-        # the loser of (incumbent best, new probe) is the runner-up candidate
-        cm = jnp.where(better, mlen, m2)
-        cd = jnp.where(better, dist, d2)
-        cf = jnp.where(better, fine, f2)
-        nbd = jnp.where(better, d2, dist)  # new best dist
-        upd2 = (cd != nbd) & (cd != 0) & (
-            (cm > mlen2) | ((cm == mlen2) & (cf > fine2))
-        )
-        mlen2 = jnp.where(upd2, cm, mlen2)
-        dist2 = jnp.where(upd2, cd, dist2)
-        fine2 = jnp.where(upd2, cf, fine2)
-        mlen = jnp.where(better, m2, mlen)
-        dist = jnp.where(better, d2, dist)
-        fine = jnp.where(better, f2, fine)
+        pays.append(pack_inv(*probe(d)))
+    payA = pays[0]
+    for p in pays[1:]:
+        payA = jnp.maximum(payA, p)
+    invA = payA & jnp.uint32(0xFFFF)
+    payB = jnp.zeros_like(payA)
+    for p in pays:
+        payB = jnp.maximum(
+            payB, jnp.where((p & jnp.uint32(0xFFFF)) != invA, p, 0))
+    mlen, dist, fine = unpack_inv(payA)
+    mlen2, dist2, fine2 = unpack_inv(payB)
+    nz2 = payB != 0
+    mlen2 = jnp.where(nz2, mlen2, 0)
+    dist2 = jnp.where(nz2, dist2, 0)
+    fine2 = jnp.where(nz2, fine2, 0)
 
     pay_a = (mlen << jnp.uint32(18)) | (fine << jnp.uint32(16)) | dist
     pay_b = (mlen2 << jnp.uint32(18)) | (fine2 << jnp.uint32(16)) | dist2
     if return_triple:
+        def unpack(x, mm=jnp.uint32(0xFFFFFFFF)):
+            x = x.reshape(n)
+            return (
+                ((x >> jnp.uint32(18)) & mm).astype(jnp.int32),
+                (x & jnp.uint32(0xFFFF)).astype(jnp.int32),
+                ((x >> jnp.uint32(16)) & jnp.uint32(3)).astype(jnp.int32),
+            )
+        if wide is None:
+            # Lean path: mlen <= 16 uses payload bits 18..22, so bits
+            # 23..31 of BOTH payloads are free — 18 bits, enough for
+            # candidate C compressed to (len/4 capped at 3, dist).  One
+            # less operand on the un-permute sort (~2 ms/4 MiB); C is the
+            # DP's min-distance SHORT option, so the len cap (12) and the
+            # dropped fine remainder are near-free (ratio-checked).
+            lc2 = jnp.clip(mlenC >> jnp.uint32(2), 0, 3).astype(jnp.uint32)
+            cbits = (lc2 << jnp.uint32(16)) | distC
+            pa_packed = pay_a | ((cbits & jnp.uint32(0x1FF)) << jnp.uint32(23))
+            pb_packed = pay_b | ((cbits >> jnp.uint32(9)) << jnp.uint32(23))
+            _, pa, pb = jax.lax.sort(
+                (slp, pa_packed, pb_packed), num_keys=1, dimension=1
+            )
+            cb = (((pa.reshape(n) >> jnp.uint32(23)) & jnp.uint32(0x1FF))
+                  | (((pb.reshape(n) >> jnp.uint32(23)) & jnp.uint32(0x1FF))
+                     << jnp.uint32(9)))
+            triC = (
+                ((cb >> jnp.uint32(16)) << jnp.uint32(2)).astype(jnp.int32),
+                (cb & jnp.uint32(0xFFFF)).astype(jnp.int32),
+                jnp.zeros(n, jnp.int32),
+            )
+            m5 = jnp.uint32(0x1F)
+            return unpack(pa, m5), unpack(pb, m5), triC
         pay_c = (mlenC << jnp.uint32(18)) | (fineC << jnp.uint32(16)) | distC
         _, pa, pb, pc = jax.lax.sort(
             (slp, pay_a, pay_b, pay_c), num_keys=1, dimension=1
         )
-        def unpack(x):
-            x = x.reshape(n)
-            return (
-                (x >> jnp.uint32(18)).astype(jnp.int32),
-                (x & jnp.uint32(0xFFFF)).astype(jnp.int32),
-                ((x >> jnp.uint32(16)) & jnp.uint32(3)).astype(jnp.int32),
-            )
         # raw (word-granular) triples: the caller extends jointly with any
         # other candidate pools (content pass) via _chain_extend_multi
         return unpack(pa), unpack(pb), unpack(pc)
@@ -543,7 +581,8 @@ def _chain_extend2(mA, dA, fA, mB, dB, fB, return_pair: bool = False):
     return jnp.where(useB, lenB, lenA), jnp.where(useB, dB, dA)
 
 
-def _chain_extend_multi(cands, strides2=(1, 2, 4, 8, 16, 32, 64, 128)):
+def _chain_extend_multi(cands, strides2=(1, 2, 4, 8, 16, 32, 64, 128),
+                        strides1=(1, 2, 4, 8, 16, 32, 64, 128)):
     """N-candidate chain extension by multi-stride max-relaxation.
 
     Exact identity: lcp(i, d) >= s  =>  lcp(i, d) = s + lcp(i+s, d) for
@@ -564,7 +603,7 @@ def _chain_extend_multi(cands, strides2=(1, 2, 4, 8, 16, 32, 64, 128)):
     rs = [c[0] for c in cands]
     ds = [c[1] for c in cands]
     fs = [c[2] for c in cands]
-    for strides in ((1, 2, 4, 8, 16, 32, 64, 128), strides2):
+    for strides in (strides1, strides2):
         for s in strides:
             def sh(x):
                 return jnp.concatenate([x[s:], jnp.zeros(s, jnp.int32)])
@@ -714,17 +753,17 @@ _GROUP_CAPW = 37  # 128 positions * <=9 bits = 1152 bits -> 36 words + carry
 
 
 def _group_premerge(values: jax.Array, nbits: jax.Array, offs: jax.Array,
-                    capw: int = _GROUP_CAPW):
+                    capw: int = _GROUP_CAPW, group: int = _GROUP):
     """Stage 1 of the group pack: merge 128-position groups into
     (capw+1)-word buffers already shifted to the group's in-word bit
     offset.  Returns (sbuf [m, capw+1] u32, gw [m] i32 absolute start
     words) — the placement stage (`_group_place` scatter-add, or the
     Pallas RMW kernel in pallas_kernels.py) ORs these at gw."""
     n = values.shape[0]
-    m = n // _GROUP
-    v = values.reshape(m, _GROUP)
-    nb = nbits.reshape(m, _GROUP).astype(jnp.uint32)
-    o = offs.reshape(m, _GROUP)
+    m = n // group
+    v = values.reshape(m, group)
+    nb = nbits.reshape(m, group).astype(jnp.uint32)
+    o = offs.reshape(m, group)
     goff = o[:, :1]
     loff = (o - goff).astype(jnp.uint32)          # < 32 * capw
     mask = jnp.where(
@@ -937,7 +976,8 @@ def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
                       wide_window: bool = True, use_content: bool = True,
                       use_wide: bool = True, ext_c: bool = True,
                       lcp: int = 16,
-                      strides2=(1, 2, 4, 8, 16, 32, 64, 128)):
+                      strides2=(1, 2, 4, 8, 16, 32, 64, 128),
+                      strides1=(1, 2, 4, 8, 16, 32, 64, 128)):
     """Candidate generation for the min-cost DP parser: per-position best
     and runner-up (distinct-distance) match candidates, plus an optional
     len-3 short-offset candidate.  Same matchfind machinery as
@@ -1001,13 +1041,15 @@ def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
         rawE = cA[3:6]
         ext = _chain_extend_multi([rawA, rawB, rawC, rawD, rawE])
     elif ext_c:
-        ext = _chain_extend_multi([rawA, rawB, rawC], strides2=strides2)
+        ext = _chain_extend_multi([rawA, rawB, rawC], strides2=strides2,
+                                  strides1=strides1)
     else:
         # C (nearest occurrence) stays at its raw word-granular LCP (+fine
         # remainder): its role in the DP pool is the MIN-DISTANCE short
         # option, which rarely needs extension — and dropping it from the
         # K**2 relaxation cuts the extension cost ~45%
-        ext = _chain_extend_multi([rawA, rawB], strides2=strides2)
+        ext = _chain_extend_multi([rawA, rawB], strides2=strides2,
+                                  strides1=strides1)
         mC0, dC0, fC0 = rawC
         lnC0 = jnp.minimum(mC0 + jnp.where(mC0 >= 4, fC0, 0), MAX_LEN)
         ext = ext + [(lnC0, dC0)]

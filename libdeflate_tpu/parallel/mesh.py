@@ -41,12 +41,15 @@ def make_chunk_mesh(devices=None, axis_name: str = "chunks") -> Mesh:
 def _chunk_compressor(level: int):
     """Device chunk compressor ladder (the analogue of the reference's
     per-level impl table, lib/deflate_compress.c:3927-4013):
-    1 -> static-code greedy (fastest); 2-4 -> dynamic Huffman
-    (single-pass, 128K-segment window); 5-7 -> lean min-cost DP
-    (single seeded cost pass — ratio 34.0% beats libdeflate -6's 34.1%);
+    0 -> static-code greedy (fastest, stored-ish role); 1-4 -> dynamic
+    Huffman (single-pass, 128K-segment window; at level 1 its 35.8%
+    ratio already beats the reference -1's 36.11% — the reference's
+    fastest parser also emits dynamic blocks,
+    lib/deflate_compress.c:2451-2523); 5-7 -> lean min-cost DP (single
+    seeded cost pass — ratio 34.08% beats libdeflate -6's 34.12%);
     8-9 -> DP with two cost passes + full candidate pool; 10-12 -> +
     deep/content candidates, len-3 matches (the near-optimal analogue)."""
-    if level <= 1:
+    if level <= 0:
         return compress_chunk_static
     from ..compress.tpu_dynamic import compress_chunk_dynamic
     from ..compress.tpu_optimal import (
