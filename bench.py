@@ -70,6 +70,40 @@ def make_corpus(total_mb: int = CORPUS_MB) -> bytes:
     return b"".join(parts)[: total_mb * 1024 * 1024]
 
 
+def make_corpus2(total_mb: int = CORPUS_MB) -> bytes:
+    """Second deterministic mix with a different text/record balance
+    (ratio-claim de-risking, VERDICT r3 #8): more source text, 37-byte
+    records, base64-ish symbols, fewer runs."""
+    rng = np.random.default_rng(0xC0FFEE)
+    import glob
+
+    txt = bytearray()
+    for f in sorted(glob.glob("/root/reference/lib/**/*.c", recursive=True)
+                    + glob.glob("/root/reference/lib/**/*.h", recursive=True)):
+        try:
+            with open(f, "rb") as fh:
+                txt += fh.read()
+        except OSError:
+            pass
+    txt = bytes(txt) or b"alt text " * 1000
+    unit = total_mb * 1024 * 1024 // 10
+    b64 = np.frombuffer(
+        b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/",
+        dtype=np.uint8)
+    rec = rng.integers(0, 256, size=37, dtype=np.uint8)
+    recs = np.tile(rec, 3 * unit // 37 + 1)[: 3 * unit]
+    noise = rng.integers(0, 256, size=recs.size, dtype=np.uint8)
+    recs = np.where(rng.random(recs.size) < 0.02, noise, recs).astype(np.uint8)
+    parts = [
+        (txt * (4 * unit // len(txt) + 1))[: 4 * unit],
+        rng.choice(b64, size=2 * unit,
+                   p=rng.dirichlet(np.ones(64) * 0.5)).tobytes(),
+        recs.tobytes(),
+        b"\xff" * (unit // 2) + b"0123456789abcdef" * (unit // 32),
+    ]
+    return b"".join(parts)[: total_mb * 1024 * 1024]
+
+
 def build_reference() -> None:
     """Build the reference benchmark binary (once) for a live baseline."""
     if os.path.exists(REF_BENCH):
