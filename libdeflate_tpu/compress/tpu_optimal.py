@@ -505,6 +505,7 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
                                     strides1=(1, 2, 4, 8, 16, 32, 64, 128),
                                     lit_sample: int = 1,
                                     pm_group: int = 128,
+                                    content_doublings: int = 0,
                                     interpret: bool = False):
     from .pallas_kernels import dp_parse_pallas, pack_groups_pallas
     from .tpu_dynamic import (
@@ -524,6 +525,7 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
             wide_window=not (two_pass or hash3), use_content=use_content,
             use_wide=use_wide, ext_c=ext_c,
             lcp=8 if lcp8 else lcp, strides2=strides2, strides1=strides1,
+            content_doublings=content_doublings,
         )
         cost_lit, lit_cache = _literal_costs(bp, length, bp.shape[0],
                                              sample=lit_sample)
@@ -658,7 +660,7 @@ def compress_chunks_optimal_deep_pallas(bufs, lengths, bfinal, interpret=False):
     Pallas kernels."""
     return _compress_chunks_optimal_pallas(
         bufs, lengths, bfinal, depth=12, two_pass=True, hash3=True,
-        passes=2, interpret=interpret,
+        passes=3, content_doublings=2, interpret=interpret,
     )
 
 

@@ -388,9 +388,23 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
     )
 
 
+def _row_cummax(x: jax.Array) -> jax.Array:
+    """Running maximum along axis 1 via log-shift passes (no cumsum —
+    jnp.cumsum costs ~52 ms/1M on this chip, PERF_NOTES.md)."""
+    seg = x.shape[1]
+    s = 1
+    while s < seg:
+        shifted = jnp.concatenate(
+            [jnp.zeros((x.shape[0], s), x.dtype), x[:, :-s]], axis=1)
+        x = jnp.maximum(x, shifted)
+        s *= 2
+    return x
+
+
 def _content_sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
                               w8: jax.Array, w12: jax.Array, seg: int,
-                              depth: int = 6, wide=None):
+                              depth: int = 6, wide=None,
+                              doublings: int = 0):
     """Suffix-array-flavored candidate pass: sort segment positions by
     (hash, next-17-content-bits, position) so LEXICOGRAPHIC neighbors —
     the suffixes sharing the longest prefixes — sit adjacent, then probe
@@ -426,14 +440,47 @@ def _content_sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
         | ((w6 >> jnp.uint32(8)) & jnp.uint32(0xFF00))
         | (w6 >> jnp.uint32(24))
     )
-    ops = (k1, k2, lp, w.reshape(m, seg), w4.reshape(m, seg),
+    # Suffix-rank doubling (the bt matchfinder's accumulated search state,
+    # lib/bt_matchfinder.h:140-262, re-derived for sorts): each round
+    # sorts by (rank, rank at +h) and re-ranks, doubling the prefix
+    # length that defines neighbor order — ranks after round r group
+    # 10 * 2^r byte prefixes, so the +-depth probes sample candidates
+    # that truly share long prefixes (the records-class gap driver).
+    ka, kb = k1, k2
+    is_junk = (h.reshape(m, seg) == jnp.uint32(junk))
+    h_cov = 10
+    for _ in range(doublings):
+        ska, skb, slp0 = jax.lax.sort((ka, kb, lp), num_keys=3, dimension=1)
+        colu = jax.lax.broadcasted_iota(jnp.uint32, (m, seg), 1)
+
+        def sh1(x):
+            return jnp.concatenate(
+                [jnp.zeros((m, 1), x.dtype), x[:, :-1]], axis=1)
+        newg = (ska != sh1(ska)) | (skb != sh1(skb)) | (colu == 0)
+        rank_sorted = _row_cummax(jnp.where(newg, colu, 0))
+        _, rank = jax.lax.sort((slp0, rank_sorted), num_keys=1, dimension=1)
+        rh = jnp.concatenate(
+            [rank[:, h_cov:],
+             jnp.full((m, h_cov), 1 << 17, jnp.uint32)], axis=1)
+        ka, kb = rank, rh
+        h_cov *= 2
+    if doublings:
+        # junk (tail/invalid) positions must stay sorted last: force their
+        # rank keys to the max so the probes' junk mask lines up
+        ka = jnp.where(is_junk, jnp.uint32(0x7FFFFFFF), ka)
+
+    # the junk flag rides bit 17 of the position payload (rank keys no
+    # longer carry the hash, so the probes can't derive it from the key)
+    lpj = lp | (is_junk.astype(jnp.uint32) << jnp.uint32(17))
+    ops = (ka, kb, lpj, w.reshape(m, seg), w4.reshape(m, seg),
            w8.reshape(m, seg), w12.reshape(m, seg))
     if wide is not None:
         ops = ops + tuple(x.reshape(m, seg) for x in wide)
     sorted_ops = jax.lax.sort(ops, num_keys=3, dimension=1)
-    sk1, _, slp, sw, sw4, sw8, sw12 = sorted_ops[:7]
+    _, _, slpj, sw, sw4, sw8, sw12 = sorted_ops[:7]
     swide = sorted_ops[7:]
-    shash = sk1 >> jnp.uint32(17)
+    sjunk = (slpj >> jnp.uint32(17)) & jnp.uint32(1)
+    slp = slpj & jnp.uint32(0x1FFFF)
     col = jax.lax.broadcasted_iota(jnp.int32, (m, seg), 1)
 
     def tz_bytes(x):
@@ -449,9 +496,11 @@ def _content_sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
         )
 
     def probe(d):
+        # no hash-equality gate needed: eq4 requires the first 4 bytes
+        # equal outright (x0 == 0), which implies same hash; only junk
+        # positions (tail/invalid) must be masked on both ends
         same = (
-            (shash == jnp.roll(shash, d, axis=1))
-            & (shash != jnp.uint32(junk))
+            (sjunk == 0) & (jnp.roll(sjunk, d, axis=1) == 0)
             & (col >= d if d > 0 else col < seg + d)
         )
         dist_i = slp.astype(jnp.int32) - jnp.roll(slp, d, axis=1).astype(
@@ -977,7 +1026,8 @@ def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
                       use_wide: bool = True, ext_c: bool = True,
                       lcp: int = 16,
                       strides2=(1, 2, 4, 8, 16, 32, 64, 128),
-                      strides1=(1, 2, 4, 8, 16, 32, 64, 128)):
+                      strides1=(1, 2, 4, 8, 16, 32, 64, 128),
+                      content_doublings: int = 0):
     """Candidate generation for the min-cost DP parser: per-position best
     and runner-up (distinct-distance) match candidates, plus an optional
     len-3 short-offset candidate.  Same matchfind machinery as
@@ -1036,6 +1086,7 @@ def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
         cA = _content_sorted_matchfind(
             h, words_u32, w4, w8, w12, sort_seg,
             depth=max(depth * 2 // 3, 4), wide=wide,
+            doublings=content_doublings,
         )
         rawD = cA[0:3]
         rawE = cA[3:6]
