@@ -23,10 +23,11 @@ lib/deflate_decompress.c:721-1004), re-expressed as an on-chip kernel:
   order, one-level subtables, the two zlib-lax incomplete-code cases
   (single len-1 codeword / empty code) accepted exactly like the other
   three decoders.
-- **LZ window**: a 32 KiB ring of i32 words in SMEM.  DEFLATE offsets
-  never exceed 32768, so matches always resolve inside the ring; each
-  time `op` crosses a 32 KiB boundary the (exactly linear) ring is flushed
-  to the output in HBM with one DMA.
+- **LZ window**: a 64 KiB ring of i32 words in SMEM — twice the DEFLATE
+  window, because the carried-word output scheme stores whole words and
+  would otherwise clobber the lanes a full-window (dist ~32768) match
+  reads.  Each time `op` crosses a 32 KiB boundary the finished half is
+  flushed to the output in HBM with one DMA.
 - **Known-size contract**: the caller passes the expected output size per
   chunk (the device API's fixed-shape mode); corrupt streams set a
   per-chunk status code and stop, with every loop bounded by input/output
@@ -86,7 +87,15 @@ PTB = 7                        # precode table bits
 LL_SIZE = (1 << LTB) + 294     # main + worst-case subtables
 OF_SIZE = (1 << OTB) + 146
 STAGE_W = 2048                 # staged input words (8 KiB)
-RING_W = 8192                  # 32 KiB window ring, as i32 words
+# The ring is TWICE the DEFLATE window: the carried-word output scheme
+# stores whole words (garbage in lanes >= op&3), which would clobber the
+# 32 KiB-old bytes a full-window (dist ~32768) match still needs if ring
+# size == window.  At 64 KiB, position p and p-32768 live in different
+# slots, so every dist <= 32768 reads live bytes; flushes move finished
+# 32 KiB HALVES.
+RING_W = 16384                 # 64 KiB output ring, as i32 words
+FLUSH_W = 8192                 # words per flush span (32 KiB, the window)
+FLUSHB = FLUSH_W * 4           # flush-boundary period in bytes
 
 K_LIT, K_BASE, K_EOB, K_SUB = 0, 1, 2, 3
 
@@ -408,8 +417,8 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
     # copies read the ring freely; slots at positions >= op are dead (their
     # 32 KiB-older occupants were flushed when op crossed the previous
     # boundary) so speculative stores to them are safe.
-    RINGB = RING_W * 4          # ring bytes (= DEFLATE window, 32 KiB)
-    RM = RING_W - 1
+    RINGB = FLUSHB              # flush-boundary period (= window, 32 KiB)
+    RM = RING_W - 1             # ring slot mask (64 KiB of positions)
 
     def ring_byte(pos):
         w = _shr(pos, 2) & RM
@@ -434,15 +443,18 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
         the end.  op_end is the output byte count; the flushed span is
         [op_end - (op_end mod 32768 or 32768), op_end) rounded up to words
         (the out array is word-padded by the host)."""
-        rem = op_end & (RING_W * 4 - 1)
-        nbytes = jnp.where(rem == 0, RING_W * 4, rem)
+        rem = op_end & (FLUSHB - 1)
+        nbytes = jnp.where(rem == 0, FLUSHB, rem)
         nw = _shr(nbytes + 3, 2)
         # op_end - nbytes is a multiple of 32768 bytes = 8192 words
         start_wb = _shl(_shr(op_end - nbytes, 15), 3)   # in 1024-word blocks
         dst = pl.multiple_of(_shl(b * (OW // 1024) + start_wb, 10), 1024)
+        # the span lives in one 32 KiB HALF of the 64 KiB ring
+        half = _shr(op_end - nbytes, 15) & 1
+        src_w = pl.multiple_of(_shl(half, 13), FLUSH_W)
         cp = pltpu.make_async_copy(
-            ring.at[pl.ds(0, RING_W)],
-            out_ref.at[pl.ds(dst, RING_W)],
+            ring.at[pl.ds(src_w, FLUSH_W)],
+            out_ref.at[pl.ds(dst, FLUSH_W)],
             sem_out,
         )
         # full-ring DMA keeps the shape static; the host over-allocates
@@ -863,7 +875,7 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
         BAD_DATA, status)
 
     # final partial flush
-    @pl.when((status == OK) & ((op & (RING_W * 4 - 1)) != 0))
+    @pl.when((status == OK) & ((op & (FLUSHB - 1)) != 0))
     def _():
         flush(op)
 

@@ -111,3 +111,23 @@ def test_batch_mixed_sizes():
         streams.append(c.compress(raw) + c.flush())
         raws.append(raw)
     _rt(streams, raws)
+
+
+def test_full_window_distance_match():
+    """Matches at dist == 32768 (the full DEFLATE window) read bytes the
+    carried-word ring scheme would clobber if the ring were window-sized
+    (regression: zlib never emits distances near 32768 — its effective
+    MAX_DIST stops ~262 short — so zlib-stream tests missed this; streams
+    from this library and the reference use the whole window)."""
+    from libdeflate_tpu import api
+
+    rng = np.random.default_rng(7)
+    head = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+    gap = rng.integers(0, 256, 32768 - 256, dtype=np.uint8).tobytes()
+    raw = head + gap + head + rng.integers(
+        0, 256, 512, dtype=np.uint8).tobytes()
+    for level in (6, 9, 12):
+        s = bytes(api.Compressor(level).deflate_compress(raw))
+        # only meaningful when the compressor actually found the
+        # full-window match; the library's levels >= 6 do
+        _rt([s], [raw])
