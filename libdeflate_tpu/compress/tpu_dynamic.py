@@ -7,17 +7,16 @@ reference's ``deflate_make_huffman_code`` + ``deflate_flush_block``
 the measured op costs of the chip: no per-position table gathers, no
 large scatters, no global sorts.
 
-- **One sort, one combined alphabet.**  Each position carries one symbol
-  key for ONE batched segment sort of ``sym<<15|pos``: committed literals
-  carry the byte, a match's first position carries the length symbol
-  (257..285), and the match's SECOND position — always inside the span —
-  carries ``286 + dist_slot``.  Symbol histograms for both code tables
-  fall out of 317 searchsorted boundaries per segment, and per-position
-  code translation scatters ~317 per-row table *deltas* at those same
-  boundaries and prefix-sums them back (exact triangular f32 matmuls:
-  partial sums telescope to a table entry < 2^19).  A payload sort keyed
-  on position un-permutes.  Translating a million positions costs two
-  cheap batched sorts, not a million gathers.
+- **One combined alphabet, no sorts.**  Each position carries one symbol:
+  committed literals carry the byte, a match's first position carries the
+  length symbol (257..285), and the match's SECOND position — always
+  inside the span — carries ``286 + dist_slot``.  The symbol histogram
+  for both code tables is ONE one-hot MXU matmul (0/1 bf16 operands
+  accumulate exactly in f32; counts < 2^24), and per-position code
+  translation is a packed-word binary select tree over the 316-entry
+  table (`_tree_translate`) — both replace the former segment-sort +
+  boundary-delta-scatter + un-permute-sort pipeline, measured 10.3 ms ->
+  2.6 ms per 4 MiB batch on the chip at bit-identical streams.
 - **Code lengths** — a Kraft-budget scan over symbols in frequency order
   (budget 2^11 units, length cap 11), then bounded double/halve passes
   that spend the budget *exactly*: DEFLATE decoders require complete
@@ -175,18 +174,37 @@ def _build_code_lens(hist: jax.Array, nsym: int, refine_passes: int = 0,
         - used_sorted.astype(jnp.int32)
     )
 
+    # scan-chunked 8 symbols per step: the spend is sequential, but each
+    # lax.scan step costs ~7 us of fixed overhead on-chip — unrolling 8
+    # updates per step cuts the 286-step litlen scan to 36 steps
+    CH = 8
+    npad = -(-nsym // CH) * CH
+    pad = npad - nsym
+
+    def padv(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full(pad, fill, x.dtype)]).reshape(npad // CH, CH)
+
     def step(budget, xs):
         kd, u, rem = xs
-        allow = jnp.maximum(budget - rem, 1)
-        k = jnp.where(
-            u, jnp.left_shift(jnp.int32(1), _bsr_i32(jnp.minimum(kd, allow))), 0
-        )
-        return budget - k, k
+        ks = []
+        for j in range(CH):
+            allow = jnp.maximum(budget - rem[j], 1)
+            kj = jnp.where(
+                u[j],
+                jnp.left_shift(jnp.int32(1),
+                               _bsr_i32(jnp.minimum(kd[j], allow))), 0)
+            budget = budget - kj
+            ks.append(kj)
+        return budget, jnp.stack(ks)
 
     _, k_got = jax.lax.scan(
-        step, jnp.int32(kraft), (k_sorted, used_sorted, remaining_after)
+        step, jnp.int32(kraft),
+        (padv(k_sorted, 0), padv(used_sorted, False),
+         padv(remaining_after, 0)),
     )
-    k = jnp.zeros(nsym, jnp.int32).at[order].set(k_got)
+    k = jnp.zeros(nsym, jnp.int32).at[order].set(
+        k_got.reshape(npad)[:nsym])
 
     # spend the remainder exactly: double the largest k <= R, else halve
     # the smallest k > R to raise R; bounded passes, no-ops once R == 0
@@ -242,6 +260,20 @@ def _build_code_lens(hist: jax.Array, nsym: int, refine_passes: int = 0,
     return lens.astype(jnp.int32), (r == 0) & (n_used >= 2)
 
 
+def _build_code_lens_pair(hist_lit: jax.Array, hist_dist: jax.Array,
+                          refine_passes: int = 0,
+                          max_len: int = MAX_CODE_LEN):
+    """Both alphabets through ONE vmapped build: the scans' sequential
+    steps run once with the litlen and (zero-padded) distance lanes in
+    parallel, halving the per-step overhead that dominates the build.
+    Padding is inert (hist 0 -> unused -> k 0) and the spend order among
+    used symbols matches the unpadded build, so lens are identical."""
+    h = jnp.stack([hist_lit, jnp.pad(hist_dist, (0, NSYM - NDIST))])
+    lens, ok = jax.vmap(
+        lambda hh: _build_code_lens(hh, NSYM, refine_passes, max_len))(h)
+    return lens[0], lens[1][:NDIST], ok[0], ok[1]
+
+
 def _canonical_table(lens: jax.Array, nsym: int) -> jax.Array:
     """T[sym] = rev_code<<4 | len (packed), canonical per RFC 1951 §3.2.2."""
     sym = jnp.arange(nsym)
@@ -268,71 +300,57 @@ def _canonical_table(lens: jax.Array, nsym: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 # One sort -> histograms + per-position translation
 # ---------------------------------------------------------------------------
-SYM_POS_BITS = 16  # sym (9 bits) + position (16) = 25 bits in a u32 key
-
-
-def _sym_seg(n_pad: int) -> int:
-    """Segment size for the symbol sort (positions fit SYM_POS_BITS).
-
-    The segment is a pure speed knob (hist sums per-row boundary deltas;
-    the translate telescopes per row — streams are bit-identical at any
-    size).  8K segments were measured 40% SLOWER end-to-end than 64K
-    (0.0432 vs 0.0723 GB/s on the lean tier): the per-row searchsorted /
-    delta-scatter / prefix overheads beat the bitonic log^2 saving,
-    consistent with the round-1 matchfind-segment finding."""
-    if n_pad <= 65536:
-        return n_pad
-    if n_pad % 65536 == 0:
-        return 65536
-    return n_pad // 2
-
-
-def _sort_syms(sym: jax.Array, seg: int, nsym: int = NSYM_ALL):
-    """Segment sort of sym<<16|pos keys (default: the combined 316-symbol
-    alphabet).  Returns (sorted keys [m,seg], per-row boundary starts
-    [m, nsym+1], global hist [nsym])."""
+def _hist_matmul(sym: jax.Array, nclasses: int, rows: int = 1):
+    """Exact symbol histogram as ONE one-hot MXU matmul: counts are
+    0/1 bf16 products accumulated in f32 (exact below 2^24; n <= 1 MiB).
+    ~1.7 ms per 4 MiB batch on-chip vs 8.6 ms for the former segment
+    sort + searchsorted.  With ``rows`` > 1 returns per-row counts
+    [rows, nclasses] over equal contiguous spans (global hist = sum)."""
     n = sym.shape[0]
-    m = n // seg
-    lp = jax.lax.broadcasted_iota(jnp.uint32, (m, seg), 1)
-    key = (sym.reshape(m, seg).astype(jnp.uint32) << jnp.uint32(SYM_POS_BITS)) | lp
-    (sk,) = jax.lax.sort((key,), num_keys=1, dimension=1)
-    bounds = jnp.arange(nsym + 1, dtype=jnp.uint32) << jnp.uint32(SYM_POS_BITS)
-    starts = jax.vmap(
-        lambda row: jnp.searchsorted(row, bounds, side="left")
-    )(sk).astype(jnp.int32)
-    hist = jnp.sum(starts[:, 1:] - starts[:, :-1], axis=0)
-    return sk, starts, hist
+    cpad = -(-nclasses // 128) * 128
+    s3 = sym.reshape(rows, n // rows // 128, 128)
+    oh = (s3[..., None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, 1, cpad), 3)).astype(jnp.bfloat16)
+    ones = jnp.ones(s3.shape, jnp.bfloat16)
+    h = jax.lax.dot_general(
+        ones, oh, (((1, 2), (1, 2)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    h = h.astype(jnp.int32)[..., :nclasses]
+    return h[0] if rows == 1 else h
 
 
-def _translate(sk: jax.Array, starts: jax.Array, table: jax.Array, seg: int,
-               nsym: int = NSYM_ALL, vbits: int | None = None):
-    """Per-position packed code via boundary-delta scatter + row prefix sum
-    (exact: partial delta sums telescope to a table entry < 2^19).
-
-    With ``vbits`` (when every table value < 2**vbits and
-    vbits + position bits <= 32), the un-permute rides ONE sort operand:
-    the value is packed below the position key — positions are unique per
-    row, so the low bits never affect the order."""
-    m = sk.shape[0]
-    tpad = jnp.concatenate([jnp.zeros(1, jnp.int32), table[:nsym]])
-    deltas = jnp.broadcast_to((tpad[1:] - tpad[:-1])[None, :], (m, nsym))
-    s0 = starts[:, :-1]
-    in_row = s0 < seg          # a start == seg would wrap: drop (absent tail)
-    deltas = jnp.where(in_row, deltas, 0)
-    idx = jnp.arange(m, dtype=jnp.int32)[:, None] * seg + jnp.minimum(s0, seg - 1)
-    dvec = jnp.zeros(m * seg, jnp.int32).at[idx.reshape(-1)].add(
-        deltas.reshape(-1), mode="promise_in_bounds"
-    ).reshape(m, seg)
-    excl = jax.vmap(lambda row: _exclusive_bit_offsets(row)[0])(dvec)
-    v_sorted = (excl + dvec).astype(jnp.uint32)
-    slp = sk & jnp.uint32((1 << SYM_POS_BITS) - 1)
-    if vbits is not None and vbits + SYM_POS_BITS <= 32:
-        packed = (slp << jnp.uint32(vbits)) | v_sorted
-        (pk,) = jax.lax.sort((packed,), num_keys=1, dimension=1)
-        v = pk & jnp.uint32((1 << vbits) - 1)
-        return v.reshape(m * seg).astype(jnp.int32)
-    _, v = jax.lax.sort((slp, v_sorted), num_keys=1, dimension=1)
-    return v.reshape(m * seg).astype(jnp.int32)
+def _tree_translate(sym: jax.Array, table: jax.Array, nsym: int,
+                    vbits: int) -> jax.Array:
+    """Gather-free ``table[sym]`` for a [nsym] i32 table of values
+    < 2**vbits via a packed-word binary select tree (per-position gathers
+    cost ~7.5 ns/elem on the chip; the tree is pure VPU selects).  Values
+    pack 4-per-word (vbits <= 8) or 2-per-word (<= 16); wider values
+    split into a 16-bit tree + a high-bits tree."""
+    if vbits > 16:
+        lo = _tree_translate(sym, table & jnp.int32(0xFFFF), nsym, 16)
+        hi = _tree_translate(sym, (table >> 16).astype(jnp.int32), nsym,
+                             vbits - 16)
+        return lo | (hi << 16)
+    fw = 8 if vbits <= 8 else 16
+    per = 32 // fw
+    nwords = -(-nsym // per)
+    levels = max(1, (nwords - 1).bit_length())
+    tpad = jnp.concatenate(
+        [table[:nsym], jnp.zeros((1 << levels) * per - nsym, table.dtype)]
+    ).astype(jnp.uint32).reshape(1 << levels, per)
+    words = tpad[:, 0]
+    for k in range(1, per):
+        words = words | (tpad[:, k] << jnp.uint32(fw * k))
+    idx = (sym // per).astype(jnp.int32)
+    level = [jnp.broadcast_to(words[k], sym.shape)
+             for k in range(1 << levels)]
+    for bit in range(levels):
+        b = ((idx >> bit) & 1) == 1
+        level = [jnp.where(b, level[2 * k + 1], level[2 * k])
+                 for k in range(len(level) // 2)]
+    sh = ((sym % per).astype(jnp.uint32)) * jnp.uint32(fw)
+    return ((level[0] >> sh)
+            & jnp.uint32((1 << fw) - 1)).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -391,8 +409,6 @@ def _emit_dynamic_pre(bp, commit_match, commit_lit, eff, dist,
     code tables, emission columns, bit offsets, and the 44 header words.
     Returns ((val, nb, offs), aux) where aux carries everything
     `_emit_dynamic_post` needs to finalize packed words."""
-    sym_seg = _sym_seg(n_pad)
-
     lslot, lbase, lextra = _length_slot(jnp.maximum(eff, 3))
     oslot, obase, oextra = _offset_slot(jnp.maximum(dist, 1))
 
@@ -411,7 +427,7 @@ def _emit_dynamic_pre(bp, commit_match, commit_lit, eff, dist,
     )
 
     # ---- dynamic code tables -------------------------------------------------
-    sk, starts, hist = _sort_syms(sym, sym_seg)
+    hist = _hist_matmul(sym, NSYM_ALL)
     hist_lit = hist[:NSYM]
     hist_lit = hist_lit.at[256].add(1)                       # EOB
     hist_lit = hist_lit.at[0].add(jnp.where(hist_lit[0] == 0, 1, 0))
@@ -420,8 +436,8 @@ def _emit_dynamic_pre(bp, commit_match, commit_lit, eff, dist,
     hist_dist = hist_dist.at[1].add(jnp.where(hist_dist[1] == 0, 1, 0))
 
     max_len = MAX_CODE_LEN_DEEP if refine_passes else MAX_CODE_LEN
-    lit_lens, ok_l = _build_code_lens(hist_lit, NSYM, refine_passes, max_len)
-    dist_lens, ok_d = _build_code_lens(hist_dist, NDIST, refine_passes, max_len)
+    lit_lens, dist_lens, ok_l, ok_d = _build_code_lens_pair(
+        hist_lit, hist_dist, refine_passes, max_len)
     t_lit = _canonical_table(lit_lens, NSYM)
     t_dist = _canonical_table(dist_lens, NDIST)
 
@@ -437,10 +453,9 @@ def _emit_dynamic_pre(bp, commit_match, commit_lit, eff, dist,
     table = jnp.where(
         use_dyn, jnp.concatenate([t_lit, t_dist]), _T_STATIC_ALL
     )
-    # 11-bit codes pack (rev<<4|len) < 2**15: the un-permute rides one
-    # packed operand (value below the 16-bit position key)
-    code_at = _translate(sk, starts, table, sym_seg,
-                         vbits=15 if max_len <= MAX_CODE_LEN else None)
+    # packed (rev<<4 | len) entries are max_len+4 bits wide; DONT_CARE
+    # positions (sym == 316) read the zero pad and emit nothing
+    code_at = _tree_translate(sym, table, NSYM_ALL, max_len + 4)
 
     # ---- emission columns ------------------------------------------------------
     clen = (code_at & 15).astype(jnp.int32)

@@ -64,10 +64,8 @@ from .tpu_dynamic import (
     DONT_CARE,
     NDIST,
     NSYM,
-    _build_code_lens,
-    _sort_syms,
-    _sym_seg,
-    _translate,
+    _build_code_lens_pair,
+    _hist_matmul,
     emit_dynamic_block,
 )
 
@@ -138,28 +136,30 @@ def _literal_costs(bp: jax.Array, length: jax.Array, n_pad: int,
                    table: jax.Array | None = None, cache=None,
                    sample: int = 1):
     """Per-position literal cost (1/16-bit units) from the chunk's byte
-    histogram: one 1-operand byte-alphabet segment sort yields the
-    histogram (searchsorted boundaries); the per-position translation
-    goes through the packed-word select tree (_byte_table_select) — the
-    costs are <= 15*BIT = 240, one byte each.
+    histogram: one one-hot MXU matmul yields per-row byte counts
+    (`_hist_matmul`); the per-position translation goes through the
+    packed-word select tree (_byte_table_select) — the costs are
+    <= 15*BIT = 240, one byte each.
 
     With ``table`` (a [256] i32 cost table, e.g. real code lengths * 16),
     the histogram entropy seeding is skipped entirely and bytes translate
-    through the given costs (no sort at all).  ``cache`` (returned as the
-    second output) carries the histogram sort across cost passes."""
+    through the given costs (no histogram at all).  ``cache`` (returned
+    as the second output) carries the per-64K-row histogram [m, 257]
+    across cost passes (row semantics for the row_lit1 variant)."""
     if table is None:
         # seeding histogram; `sample` strides the byte array (the seed
         # needs frequencies, not exact counts — a 4x sample shrinks the
-        # sort by 4x for a sub-0.01pp ratio effect, measured)
+        # matmul by 4x for a sub-0.01pp ratio effect, measured)
         n_s = n_pad // sample
-        seg = _sym_seg(n_s)
         if cache is None:
             pos = jax.lax.broadcasted_iota(jnp.int32, (n_s, 1), 0)[:, 0]
             sym = jnp.where(pos * sample < length,
                             bp[::sample].astype(jnp.int32), 256)
-            cache = _sort_syms(sym, seg, nsym=257)
-        _, _, hist = cache
-        h = hist[:256]
+            rows = max(n_s // 65536, 1)
+            cache = _hist_matmul(sym, 257, rows=rows)
+            if rows == 1:
+                cache = cache[None]
+        h = jnp.sum(cache, axis=0)[:256]
         total = jnp.maximum(jnp.sum(h), 1).astype(jnp.float32)
         # cost = -16*log2(p), clamped to [1, 15] bits (the dynamic-code cap)
         bits = jnp.log2(total) - jnp.log2(jnp.maximum(h, 1).astype(jnp.float32))
@@ -173,9 +173,12 @@ def _literal_costs(bp: jax.Array, length: jax.Array, n_pad: int,
 
 
 def _dist_cost(dist: jax.Array) -> jax.Array:
-    """Seeded offset cost: DIST_SYM_COST + 16 * extra_bits(slot)."""
-    _, _, oextra = _offset_slot(jnp.maximum(dist, 1))
-    return DIST_SYM_COST + BIT * oextra
+    """Seeded offset cost: DIST_SYM_COST + 16 * extra_bits(slot).
+    extra = max(bsr(d-1) - 1, 0) — the slot's (slot>>1)-1 collapsed to
+    arithmetic on d directly (runs on four [n] arrays per chunk)."""
+    o1 = jnp.maximum(dist, 1) - 1
+    k = 31 - jax.lax.clz(jnp.maximum(o1.astype(jnp.int32), 1))
+    return DIST_SYM_COST + BIT * jnp.maximum(k - 1, 0)
 
 
 def _seed_lc_len() -> np.ndarray:
@@ -340,7 +343,6 @@ def _code_lens_from_items(bp, commit_match, commit_lit, eff, dist,
     """Real litlen/offset code lengths for the items of a parse pass
     (the refinement step of deflate_near_optimal's iterated costs,
     lib/deflate_compress.c:3416-3530)."""
-    sym_seg = _sym_seg(n_pad)
     lslot, _, _ = _length_slot(jnp.maximum(eff, 3))
     oslot, _, _ = _offset_slot(jnp.maximum(dist, 1))
     prev_match = jnp.concatenate([jnp.zeros(1, bool), commit_match[:-1]])
@@ -349,15 +351,15 @@ def _code_lens_from_items(bp, commit_match, commit_lit, eff, dist,
         commit_match, 257 + lslot,
         jnp.where(prev_match, NSYM + oslot_b,
                   jnp.where(commit_lit, bp.astype(jnp.int32), DONT_CARE)))
-    _, _, hist = _sort_syms(sym, sym_seg)
+    hist = _hist_matmul(sym, NSYM + NDIST)
     hist_lit = hist[:NSYM].at[256].add(1)
     hist_lit = hist_lit.at[0].add(jnp.where(hist_lit[0] == 0, 1, 0))
     hist_dist = hist[NSYM:]
     hist_dist = hist_dist.at[0].add(jnp.where(hist_dist[0] == 0, 1, 0))
     hist_dist = hist_dist.at[1].add(jnp.where(hist_dist[1] == 0, 1, 0))
     from .tpu_dynamic import MAX_CODE_LEN_DEEP
-    lit_lens, _ = _build_code_lens(hist_lit, NSYM, 16, MAX_CODE_LEN_DEEP)
-    dist_lens, _ = _build_code_lens(hist_dist, NDIST, 16, MAX_CODE_LEN_DEEP)
+    lit_lens, dist_lens, _, _ = _build_code_lens_pair(
+        hist_lit, hist_dist, 16, MAX_CODE_LEN_DEEP)
     return lit_lens, dist_lens
 
 
@@ -370,7 +372,8 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
                         row_lit1: bool = False,
                         strides2=(1, 2, 4, 8, 16, 32, 64, 128),
                         strides1=(1, 2, 4, 8, 16, 32, 64, 128),
-                        lit_sample: int = 1):
+                        lit_sample: int = 1,
+                        content_doublings: int = 0):
     """Candidate generation + cost seeding + DP + commit, optionally
     iterated: pass k >= 2 re-derives symbol costs from pass k-1's real
     code lengths and re-runs the DP (the reference's iterated cost
@@ -380,14 +383,14 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
         b, length, depth=depth, two_pass=two_pass, hash3=hash3,
         wide_window=wide_window, use_content=use_content, use_wide=use_wide,
         ext_c=ext_c, lcp=lcp, strides2=strides2, strides1=strides1,
+        content_doublings=content_doublings,
     )
     n_pad = bp.shape[0]
     S_eff = S if (n_pad % S == 0 and n_pad >= S) else n_pad
 
     cost_lit, lit_cache = _literal_costs(bp, length, n_pad)
     if row_lit1:
-        starts = lit_cache[1]
-        hrow = (starts[:, 1:257] - starts[:, :256]).astype(jnp.int32)
+        hrow = lit_cache[:, :256]
         total = jnp.maximum(jnp.sum(hrow, axis=1), 1).astype(jnp.float32)
         bits = (jnp.log2(total)[:, None]
                 - jnp.log2(jnp.maximum(hrow, 1).astype(jnp.float32)))
@@ -475,10 +478,13 @@ def compress_chunks_optimal2(bufs: jax.Array, lengths: jax.Array,
 def compress_chunks_optimal_deep(bufs: jax.Array, lengths: jax.Array,
                                  bfinal: jax.Array):
     """DP parse over rescue-pass + hash3 + 12-deep candidates (the device
-    top-quality tier)."""
+    top-quality tier).  Config matches compress_chunks_optimal_deep_pallas
+    (3 cost passes, 2 suffix-rank doublings in the content pass) so the
+    two paths stay bit-exact cross-checks of each other."""
     return jax.vmap(
         lambda b, l, f: compress_chunk_optimal(
-            b, l, f, depth=12, two_pass=True, hash3=True, passes=2
+            b, l, f, depth=12, two_pass=True, hash3=True, passes=3,
+            content_doublings=2,
         )
     )(bufs, lengths, bfinal)
 
@@ -540,7 +546,7 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
         # for the cache, which pass 2's exact translate reuses) — skips the
         # pass-1 boundary-delta translate for ~2.5 ms/batch
         def mean_cost(cache):
-            hist = cache[2][:256]
+            hist = jnp.sum(cache, axis=0)[:256]
             total = jnp.maximum(jnp.sum(hist), 1).astype(jnp.float32)
             bits = jnp.log2(total) - jnp.log2(
                 jnp.maximum(hist, 1).astype(jnp.float32))
@@ -558,8 +564,7 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
         # adapting to content changes inside the chunk (rows map 1:1 onto
         # contiguous 64KB position ranges)
         def row_cost(cache):
-            starts = cache[1]                    # [m, 258]
-            h = (starts[:, 1:257] - starts[:, :256]).astype(jnp.int32)
+            h = cache[:, :256]                   # [m, 257] row histogram
             total = jnp.maximum(jnp.sum(h, axis=1), 1).astype(jnp.float32)
             bits = (jnp.log2(total)[:, None]
                     - jnp.log2(jnp.maximum(h, 1).astype(jnp.float32)))

@@ -220,6 +220,12 @@ def _sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
     shash = sk >> jnp.uint32(pos_bits)
     slp = sk & jnp.uint32((1 << pos_bits) - 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (m, seg), 1)
+    # NOTE (round-4 A/B): a fused Pallas probe/selection kernel was built
+    # and measured — 1 ms isolated vs 8.7 ms for these probes as an
+    # isolated XLA stage — but the full parse got SLOWER (18.5 -> 21 ms
+    # per 4 MiB batch): XLA fuses the probe chain into the sort/un-permute
+    # pipeline, and the pallas_call's HBM materialization barrier (5 in +
+    # 2 out arrays) costs more than the fusion it replaces.  Kept XLA.
 
     def tz_bytes(x):
         return jnp.where(
