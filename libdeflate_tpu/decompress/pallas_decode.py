@@ -81,7 +81,13 @@ PRECODE_PERM = np.array(
     [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15],
     np.int32)
 
-LTB = 11                       # litlen main-table bits (13 measured a wash: table-build cost eats the extra pair coverage)
+LTB = 11                       # litlen main-table bits.  Measured dead
+                               # ends: 13 (r4 early) was a wash; a FLAT
+                               # 15-bit table (no subtable resolve, rich
+                               # two-literal pairing) measured 58.6 ->
+                               # 37.2 MB/s — the 2^15 fill + pair sweep
+                               # per dynamic block dominates on native
+                               # streams with real block splitting
 OTB = 8                        # offset main-table bits
 PTB = 7                        # precode table bits
 LL_SIZE = (1 << LTB) + 294     # main + worst-case subtables
@@ -765,60 +771,91 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
                                jnp.where(is_lit, nb, length))
                 d_eff = jnp.where(is_lit, nb, jnp.maximum(dist, 1))
 
-                # pattern word for short periods (literal bytes / dist
-                # 1-3): q byte j = src byte ((j - (op&3)) mod d_eff)
-                b0 = jnp.where(is_lit, payload & 0xFF,
-                               ring_byte(oo - d_eff))
-                b1 = jnp.where(is_lit, _shr(e, 24) & 0xFF,
-                               ring_byte(oo - d_eff + 1))
-                b2 = ring_byte(oo - d_eff + 2)
-                sh_lo = oo & 3
-                q1 = b0 * jnp.int32(0x01010101)
-                pair_a = b0 | _shl(b1, 8)
-                pair_b = b1 | _shl(b0, 8)
-                q2 = jnp.where((sh_lo & 1) == 0,
-                               pair_a | _shl(pair_a, 16),
-                               pair_b | _shl(pair_b, 16))
-                q3a = b0 | _shl(b1, 8) | _shl(b2, 16) | _shl(b0, 24)
-                q3b = b2 | _shl(b0, 8) | _shl(b1, 16) | _shl(b2, 24)
-                q3c = b1 | _shl(b2, 8) | _shl(b0, 16) | _shl(b1, 24)
-                r3 = sh_lo - jnp.where(sh_lo >= 3, 3, 0)
-                q3 = jnp.where(r3 == 0, q3a, jnp.where(r3 == 1, q3b, q3c))
-                q0 = jnp.where(d_eff == 1, q1,
-                               jnp.where(d_eff == 2, q2, q3))
                 use_pat = is_lit | (d_eff < 4)
                 crossing = (oo & (RINGB - 1)) + ln > RINGB
+                sh_lo = oo & 3
+                mlo = _shl(1, _shl(sh_lo, 3)) - 1
+                w0i = _shr(oo, 2)
+                nw = _shr(sh_lo + ln + 3, 2)
+                end = oo + ln
+                me = _shl(1, _shl(end & 3, 3)) - 1
 
-                def fast_copy():
-                    mlo = _shl(1, _shl(sh_lo, 3)) - 1
-                    w0i = _shr(oo, 2)
-                    nw = _shr(sh_lo + ln + 3, 2)
+                def finish(last):
+                    ccn = jnp.where((end & 3) == 0, 0, last & me)
+                    return end, jnp.where(ln == 0, cc, ccn)
+
+                def copy_pattern():
+                    # pattern word for short periods (literal bytes / dist
+                    # 1-3): q byte j = src byte ((j - (op&3)) mod d_eff).
+                    # Branched OUT of the dominant dist>=4 path: the ~30
+                    # scalar ops + 3 dependent ring loads here cost more
+                    # than the extra branch (issue-bound core, ~1 ns/op)
+                    b0 = jnp.where(is_lit, payload & 0xFF,
+                                   ring_byte(oo - d_eff))
+                    b1 = jnp.where(is_lit, _shr(e, 24) & 0xFF,
+                                   ring_byte(oo - d_eff + 1))
+                    b2 = ring_byte(oo - d_eff + 2)
+                    q1 = b0 * jnp.int32(0x01010101)
+                    pair_a = b0 | _shl(b1, 8)
+                    pair_b = b1 | _shl(b0, 8)
+                    q2 = jnp.where((sh_lo & 1) == 0,
+                                   pair_a | _shl(pair_a, 16),
+                                   pair_b | _shl(pair_b, 16))
+                    q3a = b0 | _shl(b1, 8) | _shl(b2, 16) | _shl(b0, 24)
+                    q3b = b2 | _shl(b0, 8) | _shl(b1, 16) | _shl(b2, 24)
+                    q3c = b1 | _shl(b2, 8) | _shl(b0, 16) | _shl(b1, 24)
+                    r3 = sh_lo - jnp.where(sh_lo >= 3, 3, 0)
+                    q3 = jnp.where(r3 == 0, q3a,
+                                   jnp.where(r3 == 1, q3b, q3c))
+                    q0 = jnp.where(d_eff == 1, q1,
+                                   jnp.where(d_eff == 2, q2, q3))
 
                     def step(k, st3):
                         q, last = st3
-                        src = _shl(w0i + k, 2) - dist
-                        sw = _shr(src, 2)
-                        shs = _shl(src & 3, 3)
-                        s0_ = ring[sw & RM]
-                        s1_ = ring[(sw + 1) & RM]
-                        f = _shr(s0_, shs) | _shl(_shl(s1_, 31 - shs), 1)
-                        v = jnp.where(use_pat, q, f)
-                        stv = jnp.where(k == 0, (cc & mlo) | (v & ~mlo), v)
+                        stv = jnp.where(k == 0, (cc & mlo) | (q & ~mlo), q)
                         ring[(w0i + k) & RM] = stv
-                        # period-3 advance: shift one byte and refill byte 3
-                        # with the new byte 0 (4-byte rotate would wrongly
-                        # wrap the old byte 0 in)
+                        # period-3 advance: shift one byte and refill byte
+                        # 3 with the new byte 0 (a 4-byte rotate would
+                        # wrongly wrap the old byte 0 in)
                         qr = _shr(q, 8) & 0x00FFFFFF
                         q = jnp.where(d_eff == 3,
                                       qr | _shl(qr & 0xFF, 24), q)
                         return (q, stv)
 
                     _, last = jax.lax.fori_loop(0, nw, step, (q0, cc))
-                    end = oo + ln
-                    me = _shl(1, _shl(end & 3, 3)) - 1
-                    ccn = jnp.where((end & 3) == 0, 0, last & me)
-                    ccn = jnp.where(ln == 0, cc, ccn)
-                    return end, ccn
+                    return finish(last)
+
+                def copy_funnel():
+                    # dist >= 4 match: straight-line words 0 and 1 (blind
+                    # stores — slot w0i+k covers positions >= end for
+                    # k >= nw, which are dead), loop only for nw > 2.
+                    # Word 1's loads may read word 0's slot (4 <= dist < 8
+                    # overlap), so stores stay in program order.
+                    def word(k):
+                        src = _shl(w0i + k, 2) - dist
+                        sw = _shr(src, 2)
+                        shs = _shl(src & 3, 3)
+                        return (_shr(ring[sw & RM], shs)
+                                | _shl(_shl(ring[(sw + 1) & RM], 31 - shs),
+                                       1))
+
+                    f0 = word(0)
+                    stv0 = (cc & mlo) | (f0 & ~mlo)
+                    ring[w0i & RM] = stv0
+                    f1 = word(1)
+                    ring[(w0i + 1) & RM] = f1
+                    last = jnp.where(nw >= 2, f1, stv0)
+
+                    def step(k, lastv):
+                        fv = word(k)
+                        ring[(w0i + k) & RM] = fv
+                        return fv
+
+                    last = jax.lax.cond(
+                        nw > 2,
+                        lambda: jax.lax.fori_loop(2, nw, step, last),
+                        lambda: last)
+                    return finish(last)
 
                 def slow_copy():
                     # boundary-crossing copy: per byte with exact flushes
@@ -832,7 +869,9 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
                         return wr_byte(o5, c5, vb, True)
                     return jax.lax.fori_loop(0, ln, bc, (oo, cc))
 
-                oo, cc = jax.lax.cond(crossing, slow_copy, fast_copy)
+                oo, cc = jax.lax.cond(
+                    crossing, slow_copy,
+                    lambda: jax.lax.cond(use_pat, copy_pattern, copy_funnel))
 
                 # a non-crossing item can land exactly on the boundary
                 @pl.when((ln > 0) & (~crossing)
