@@ -69,7 +69,7 @@ def lean_pipeline(bufs, lengths, bfinal, ablate=()):
         cost_lit = jnp.full_like(cost_lit_full, 8 * to.BIT)
     else:
         def mean_cost(cache):
-            hist = cache[2][:256]
+            hist = jnp.sum(cache, axis=0)[:256]   # [m, 257] row hists
             total = jnp.maximum(jnp.sum(hist), 1).astype(jnp.float32)
             bits = jnp.log2(total) - jnp.log2(
                 jnp.maximum(hist, 1).astype(jnp.float32))
