@@ -116,9 +116,9 @@ def _byte_table_select(bp: jax.Array, cost: jax.Array) -> jax.Array:
     values via a packed-word binary select tree: the table rides as 64
     u32 words (4 costs each), selected per position over the 6 high index
     bits (63 selects total), then the byte is extracted arithmetically.
-    ~1.5 ms/4 MiB vs ~6 ms for the sort-based translate — small tables
-    beat the segment sort; the 318-symbol emit table does not (tree cost
-    scales with table size, the sort with n log^2 n)."""
+    ~1.5 ms/4 MiB vs ~6 ms for the round-3 sort-based translate.  The
+    316-symbol emit table rides the same idea at 16-bit fields
+    (tpu_dynamic._tree_translate)."""
     c = cost.astype(jnp.uint32).reshape(64, 4)
     words = (c[:, 0] | (c[:, 1] << jnp.uint32(8))
              | (c[:, 2] << jnp.uint32(16)) | (c[:, 3] << jnp.uint32(24)))
