@@ -307,6 +307,9 @@ def _hist_matmul(sym: jax.Array, nclasses: int, rows: int = 1):
     sort + searchsorted.  With ``rows`` > 1 returns per-row counts
     [rows, nclasses] over equal contiguous spans (global hist = sum)."""
     n = sym.shape[0]
+    # exactness precondition: per-row counts accumulate in f32, so any
+    # single count must stay below 2^24 — fail loudly, not inexactly
+    assert n // rows <= 1 << 24, (n, rows)
     cpad = -(-nclasses // 128) * 128
     s3 = sym.reshape(rows, n // rows // 128, 128)
     oh = (s3[..., None] == jax.lax.broadcasted_iota(

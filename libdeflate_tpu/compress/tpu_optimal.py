@@ -156,6 +156,13 @@ def _literal_costs(bp: jax.Array, length: jax.Array, n_pad: int,
             sym = jnp.where(pos * sample < length,
                             bp[::sample].astype(jnp.int32), 256)
             rows = max(n_s // 65536, 1)
+            # rows*128 must divide the sym length for _hist_matmul's
+            # reshape; pad with class 256 (dropped by the [:256] slice
+            # below) so arbitrary n_pad/sample combinations trace.
+            n_rs = -(-n_s // (rows * 128)) * (rows * 128)
+            if n_rs != n_s:
+                sym = jnp.concatenate(
+                    [sym, jnp.full((n_rs - n_s,), 256, sym.dtype)])
             cache = _hist_matmul(sym, 257, rows=rows)
             if rows == 1:
                 cache = cache[None]

@@ -835,6 +835,14 @@ def _decode_kernel(clen_ref, olen_ref, strict_ref, consts_ref, comp_ref,
                     # k >= nw, which are dead), loop only for nw > 2.
                     # Word 1's loads may read word 0's slot (4 <= dist < 8
                     # overlap), so stores stay in program order.
+                    # SAFETY INVARIANT: the unconditional word-1 store can
+                    # land one slot past `end` (incl. nw <= 1 / ln == 0
+                    # items with garbage dist).  That slot is dead ONLY
+                    # because RING (64 KiB of positions) is strictly
+                    # larger than the 32 KiB DEFLATE window: a slot one
+                    # word past the write head can never be match-reachable
+                    # history.  Shrinking RING to the window size would
+                    # silently corrupt output here.
                     def word(k):
                         src = _shl(w0i + k, 2) - dist
                         sw = _shr(src, 2)

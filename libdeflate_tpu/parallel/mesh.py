@@ -132,7 +132,7 @@ def _per_shard_decompress(bufs, in_lens, out_lens, *, decode_fn):
 
 def decompress_chunks_dp(mesh: Mesh, bufs: np.ndarray, in_lens: np.ndarray,
                          out_lens: np.ndarray, out_cap: int,
-                         decoder: str = "auto"):
+                         decoder: str = "auto", interpret: bool = False):
     """Decompress [B, N] raw-DEFLATE chunk fragments data-parallel over the
     mesh (the decode direction of compress_chunks_dp; per-chunk independent
     streams exactly like the reference's chunked usage model,
@@ -149,14 +149,16 @@ def decompress_chunks_dp(mesh: Mesh, bufs: np.ndarray, in_lens: np.ndarray,
         platform = next(iter(np.asarray(mesh.devices).flat)).platform
         decoder = "pallas" if platform == "tpu" else "fsm"
 
-    key = ("decompress", mesh, decoder, out_cap)
+    key = ("decompress", mesh, decoder, out_cap, interpret)
     jfn = _DP_CACHE.get(key)
     if jfn is None:
         if decoder == "pallas":
-            from ..decompress.pallas_decode import decompress_chunks as _dc
+            from ..decompress.pallas_decode import decompress_chunks as _pdc
+            decode_fn = lambda b, l: _pdc(b, l, out_cap,  # noqa: E731
+                                          interpret=interpret)
         else:
-            from ..decompress.tpu import decompress_chunks as _dc
-        decode_fn = lambda b, l: _dc(b, l, out_cap)  # noqa: E731
+            from ..decompress.tpu import decompress_chunks as _fdc
+            decode_fn = lambda b, l: _fdc(b, l, out_cap)  # noqa: E731
 
         axis = mesh.axis_names[0]
         spec = P(axis)

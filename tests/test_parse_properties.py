@@ -89,3 +89,44 @@ class TestKraftCodes:
                 # reversed codeword padded to l bits must be unique
                 assert (code, l) not in seen
                 seen.add((code, l))
+
+
+class TestLiteralCostsOddShapes:
+    """Regression (ADVICE r4 medium): _literal_costs must trace for every
+    n_pad/sample combination — rows = n_s//65536 does not always divide
+    n_s into 128-lane rows (e.g. 832 KiB chunks at sample=4 -> rows=3),
+    and tiny chunks give n_s < 128.  The histogram pads with class 256,
+    which the [:256] slice drops, so counts stay exact."""
+
+    def _check(self, n_pad, sample, length, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from libdeflate_tpu.compress import tpu_optimal as topt
+
+        bp = rng.integers(0, 256, size=n_pad, dtype=np.uint8)
+        costs, cache = jax.jit(
+            lambda b, l: topt._literal_costs(b, l, n_pad, sample=sample)
+        )(jnp.asarray(bp), jnp.int32(length))
+        costs, cache = np.asarray(costs), np.asarray(cache)
+        # exactness: the cache histogram counts the sampled in-range bytes
+        samp = bp[::sample][: -(-length // sample) if length else 0]
+        # positions i where i*sample < length
+        keep = (np.arange(len(bp[::sample])) * sample) < length
+        want = np.bincount(bp[::sample][keep].astype(np.int64), minlength=256)
+        got = cache.sum(axis=0)[:256]
+        assert (got == want).all(), (n_pad, sample, length)
+        assert (costs[length:] == 0).all()
+
+    def test_rows3_not_divisible(self, rng):
+        # n_s = 212992 -> rows = 3; 212992/128 = 1664 not divisible by 3
+        self._check(851968, 4, 851968 - 123, rng)
+
+    def test_tiny_below_lane(self, rng):
+        # n_s < 128: must pad up to one full lane row
+        self._check(256, 4, 200, rng)
+        self._check(512, 4, 512, rng)
+
+    def test_rows2_exact(self, rng):
+        # the previously-working power-of-two case stays exact
+        self._check(524288, 4, 524288, rng)
