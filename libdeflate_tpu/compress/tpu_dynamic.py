@@ -361,7 +361,8 @@ def _tree_translate(sym: jax.Array, table: jax.Array, nsym: int,
 # ---------------------------------------------------------------------------
 def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array,
                            two_pass: bool = False, depth: int = 6,
-                           hash3: bool = False, wide_ext: bool = False):
+                           hash3: bool = False, wide_ext: bool = False,
+                           lcp: int = 16):
     """Compress one chunk into a byte-aligned raw-DEFLATE fragment using
     per-chunk dynamic litlen + distance codes (static block selected per
     chunk when cheaper).  ``two_pass`` doubles matchfinder window coverage
@@ -374,7 +375,7 @@ def compress_chunk_dynamic(b: jax.Array, length: jax.Array, bfinal: jax.Array,
         wide_ext=wide_ext or two_pass or hash3,
         # single-pass tier: widen the matchfind segment instead of paying
         # for a rescue pass (measured: +0.17 ratio points for ~2% speed)
-        wide_window=not (two_pass or hash3),
+        wide_window=not (two_pass or hash3), lcp=lcp,
     )
     refine_passes = 16 if (two_pass or hash3) else 0  # quality tiers only
     return emit_dynamic_block(
@@ -716,6 +717,7 @@ def compress_chunks_dynamic3(bufs: jax.Array, lengths: jax.Array, bfinal: jax.Ar
 # ---------------------------------------------------------------------------
 def _compress_chunks_dynamic_pallas(bufs, lengths, bfinal, *, two_pass: bool,
                                     depth: int, hash3: bool,
+                                    lcp: int = 16,
                                     interpret: bool = False):
     from .pallas_kernels import pack_groups_pallas
 
@@ -726,7 +728,7 @@ def _compress_chunks_dynamic_pallas(bufs, lengths, bfinal, *, two_pass: bool,
         bp, pos, commit_match, commit_lit, eff, dist = _parse_chunk(
             b, length, lazy=True, two_pass=two_pass, depth=depth,
             hash3=hash3, wide_ext=two_pass or hash3,
-            wide_window=not (two_pass or hash3),
+            wide_window=not (two_pass or hash3), lcp=lcp,
         )
         refine_passes = 16 if (two_pass or hash3) else 0
         (val, nb, offs), aux = _emit_dynamic_pre(

@@ -380,7 +380,8 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
                         strides2=(1, 2, 4, 8, 16, 32, 64, 128),
                         strides1=(1, 2, 4, 8, 16, 32, 64, 128),
                         lit_sample: int = 1,
-                        content_doublings: int = 0):
+                        content_doublings: int = 0,
+                        content_round_probes: bool = False):
     """Candidate generation + cost seeding + DP + commit, optionally
     iterated: pass k >= 2 re-derives symbol costs from pass k-1's real
     code lengths and re-runs the DP (the reference's iterated cost
@@ -391,6 +392,7 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
         wide_window=wide_window, use_content=use_content, use_wide=use_wide,
         ext_c=ext_c, lcp=lcp, strides2=strides2, strides1=strides1,
         content_doublings=content_doublings,
+        content_round_probes=content_round_probes,
     )
     n_pad = bp.shape[0]
     S_eff = S if (n_pad % S == 0 and n_pad >= S) else n_pad
@@ -519,6 +521,7 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
                                     lit_sample: int = 1,
                                     pm_group: int = 128,
                                     content_doublings: int = 0,
+                                    content_round_probes: bool = False,
                                     interpret: bool = False):
     from .pallas_kernels import dp_parse_pallas, pack_groups_pallas
     from .tpu_dynamic import (
@@ -539,6 +542,7 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
             use_wide=use_wide, ext_c=ext_c,
             lcp=8 if lcp8 else lcp, strides2=strides2, strides1=strides1,
             content_doublings=content_doublings,
+            content_round_probes=content_round_probes,
         )
         cost_lit, lit_cache = _literal_costs(bp, length, bp.shape[0],
                                              sample=lit_sample)

@@ -410,7 +410,8 @@ def _row_cummax(x: jax.Array) -> jax.Array:
 def _content_sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
                               w8: jax.Array, w12: jax.Array, seg: int,
                               depth: int = 6, wide=None,
-                              doublings: int = 0):
+                              doublings: int = 0,
+                              round_probes: bool = False):
     """Suffix-array-flavored candidate pass: sort segment positions by
     (hash, next-17-content-bits, position) so LEXICOGRAPHIC neighbors —
     the suffixes sharing the longest prefixes — sit adjacent, then probe
@@ -454,9 +455,24 @@ def _content_sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
     # that truly share long prefixes (the records-class gap driver).
     ka, kb = k1, k2
     is_junk = (h.reshape(m, seg) == jnp.uint32(junk))
+    # the junk flag rides bit 17 of the position payload (rank keys no
+    # longer carry the hash, so the probes can't derive it from the key)
+    lpj = lp | (is_junk.astype(jnp.uint32) << jnp.uint32(17))
     h_cov = 10
+    round_pools = []      # per-round (pay_a, pay_b) in POSITION order
     for _ in range(doublings):
-        ska, skb, slp0 = jax.lax.sort((ka, kb, lp), num_keys=3, dimension=1)
+        ops_r = (ka, kb, lpj)
+        if round_probes:
+            # carry the content payloads through the round sort so THIS
+            # granularity's neighbor order can be probed too — the bt
+            # traversal visits candidates at every LCP level, and
+            # final-granularity-only probing loses the mid-level ones
+            # (the r4 sweep's measured ~0-effect of doublings)
+            ops_r = ops_r + (w.reshape(m, seg), w4.reshape(m, seg),
+                             w8.reshape(m, seg), w12.reshape(m, seg))
+        s_r = jax.lax.sort(ops_r, num_keys=3, dimension=1)
+        ska, skb, slpj0 = s_r[:3]
+        slp0 = slpj0 & jnp.uint32(0x1FFFF)
         colu = jax.lax.broadcasted_iota(jnp.uint32, (m, seg), 1)
 
         def sh1(x):
@@ -464,7 +480,16 @@ def _content_sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
                 [jnp.zeros((m, 1), x.dtype), x[:, :-1]], axis=1)
         newg = (ska != sh1(ska)) | (skb != sh1(skb)) | (colu == 0)
         rank_sorted = _row_cummax(jnp.where(newg, colu, 0))
-        _, rank = jax.lax.sort((slp0, rank_sorted), num_keys=1, dimension=1)
+        if round_probes:
+            rpa, rpb = _pool_probe(
+                (slpj0 >> jnp.uint32(17)) & jnp.uint32(1), slp0,
+                s_r[3], s_r[4], s_r[5], s_r[6], (), depth, m, seg)
+            _, rank, pa_p, pb_p = jax.lax.sort(
+                (slp0, rank_sorted, rpa, rpb), num_keys=1, dimension=1)
+            round_pools.append((pa_p, pb_p))
+        else:
+            _, rank = jax.lax.sort(
+                (slp0, rank_sorted), num_keys=1, dimension=1)
         rh = jnp.concatenate(
             [rank[:, h_cov:],
              jnp.full((m, h_cov), 1 << 17, jnp.uint32)], axis=1)
@@ -475,9 +500,6 @@ def _content_sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
         # rank keys to the max so the probes' junk mask lines up
         ka = jnp.where(is_junk, jnp.uint32(0x7FFFFFFF), ka)
 
-    # the junk flag rides bit 17 of the position payload (rank keys no
-    # longer carry the hash, so the probes can't derive it from the key)
-    lpj = lp | (is_junk.astype(jnp.uint32) << jnp.uint32(17))
     ops = (ka, kb, lpj, w.reshape(m, seg), w4.reshape(m, seg),
            w8.reshape(m, seg), w12.reshape(m, seg))
     if wide is not None:
@@ -487,6 +509,46 @@ def _content_sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
     swide = sorted_ops[7:]
     sjunk = (slpj >> jnp.uint32(17)) & jnp.uint32(1)
     slp = slpj & jnp.uint32(0x1FFFF)
+    col = jax.lax.broadcasted_iota(jnp.int32, (m, seg), 1)
+
+    pay_a, pay_b = _pool_probe(sjunk, slp, sw, sw4, sw8, sw12, swide,
+                               depth, m, seg)
+    _, pa, pb = jax.lax.sort((slp, pay_a, pay_b), num_keys=1, dimension=1)
+    # merge the per-round granularity pools (position order) into the
+    # final pool: same best/runner-up-distinct-dist rule on packed pays
+    for rpa, rpb in round_pools:
+        for q in (rpa, rpb):
+            better = _pay_better(q, pa)
+            disp = jnp.where(better, pa, q)          # displaced candidate
+            keep_b = ((disp & jnp.uint32(0xFFFF))
+                      != (jnp.where(better, q, pa) & jnp.uint32(0xFFFF)))
+            nb = jnp.where(keep_b & _pay_better(disp, pb), disp, pb)
+            pa = jnp.where(better, q, pa)
+            pb = nb
+    pa = pa.reshape(n)
+    pb = pb.reshape(n)
+
+    def unpack(x):
+        return (
+            (x >> jnp.uint32(18)).astype(jnp.int32),
+            (x & jnp.uint32(0xFFFF)).astype(jnp.int32),
+            ((x >> jnp.uint32(16)) & jnp.uint32(3)).astype(jnp.int32),
+        )
+
+    return unpack(pa) + unpack(pb)
+
+
+def _pay_better(x, y):
+    """Is packed candidate x better than y?  pay = mlen<<18 | fine<<16 |
+    dist: longer wins, then longer fine, then smaller nonzero dist."""
+    mx, my = x >> jnp.uint32(16), y >> jnp.uint32(16)   # mlen|fine
+    dx, dy = x & jnp.uint32(0xFFFF), y & jnp.uint32(0xFFFF)
+    return (mx > my) | ((mx == my) & (dx < dy) & (dx > 0))
+
+
+def _pool_probe(sjunk, slp, sw, sw4, sw8, sw12, swide, depth, m, seg):
+    """±depth neighbor probes over ONE sorted order; returns the packed
+    (best, best-with-distinct-distance) candidate pair per sorted slot."""
     col = jax.lax.broadcasted_iota(jnp.int32, (m, seg), 1)
 
     def tz_bytes(x):
@@ -563,18 +625,7 @@ def _content_sorted_matchfind(h: jax.Array, w: jax.Array, w4: jax.Array,
 
     pay_a = (mlen << jnp.uint32(18)) | (fine << jnp.uint32(16)) | dist
     pay_b = (mlen2 << jnp.uint32(18)) | (fine2 << jnp.uint32(16)) | dist2
-    _, pa, pb = jax.lax.sort((slp, pay_a, pay_b), num_keys=1, dimension=1)
-    pa = pa.reshape(n)
-    pb = pb.reshape(n)
-
-    def unpack(x):
-        return (
-            (x >> jnp.uint32(18)).astype(jnp.int32),
-            (x & jnp.uint32(0xFFFF)).astype(jnp.int32),
-            ((x >> jnp.uint32(16)) & jnp.uint32(3)).astype(jnp.int32),
-        )
-
-    return unpack(pa) + unpack(pb)
+    return pay_a, pay_b
 
 
 def _chain_extend(mlen: jax.Array, dist: jax.Array, fine: jax.Array):
@@ -913,7 +964,8 @@ def _hash3_matchfind(h3: jax.Array, words: jax.Array, seg: int):
 
 def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
                  two_pass: bool = False, depth: int = 2, hash3: bool = False,
-                 wide_ext: bool = False, wide_window: bool = False):
+                 wide_ext: bool = False, wide_window: bool = False,
+                 lcp: int = 16):
     """Shared greedy LZ parse: matchfind (sorted + RLE paths), combine,
     segment-FSM commit (optionally lazy).  With ``two_pass``, a second
     matchfind over half-segment-shifted windows guarantees every position
@@ -940,8 +992,13 @@ def _parse_chunk(b: jax.Array, length: jax.Array, lazy: bool = False,
     # positions without 4 valid bytes go to a junk bucket no real hash hits
     h = jnp.where(pos + MIN_MATCH <= length, h, jnp.uint32(junk_val))
 
-    mlen_s, dist_s = _sorted_matchfind(h, words_u32, w4, w8, w12, sort_seg,
-                                       depth=depth, wide_ext=wide_ext)
+    # lcp < 16 drops the w12 (and at 8 the w8) sort payloads — the fast
+    # tier's sort is its measured rock; chain extension still recovers
+    # longer matches at matching distances (VERDICT r4 #5 lever)
+    mlen_s, dist_s = _sorted_matchfind(
+        h, words_u32, w4, None if lcp <= 8 else w8,
+        None if lcp <= 12 else w12, sort_seg,
+        depth=depth, wide_ext=wide_ext)
     if two_pass and sort_seg >= 2 * FSM_SEG:
         half = sort_seg // 2
         junk = jnp.full(half, junk_val, jnp.uint32)
@@ -1033,7 +1090,8 @@ def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
                       lcp: int = 16,
                       strides2=(1, 2, 4, 8, 16, 32, 64, 128),
                       strides1=(1, 2, 4, 8, 16, 32, 64, 128),
-                      content_doublings: int = 0):
+                      content_doublings: int = 0,
+                      content_round_probes: bool = False):
     """Candidate generation for the min-cost DP parser: per-position best
     and runner-up (distinct-distance) match candidates, plus an optional
     len-3 short-offset candidate.  Same matchfind machinery as
@@ -1093,6 +1151,7 @@ def _parse_candidates(b: jax.Array, length: jax.Array, depth: int = 6,
             h, words_u32, w4, w8, w12, sort_seg,
             depth=max(depth * 2 // 3, 4), wide=wide,
             doublings=content_doublings,
+            round_probes=content_round_probes,
         )
         rawD = cA[0:3]
         rawE = cA[3:6]
