@@ -381,7 +381,8 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
                         strides1=(1, 2, 4, 8, 16, 32, 64, 128),
                         lit_sample: int = 1,
                         content_doublings: int = 0,
-                        content_round_probes: bool = False):
+                        content_round_probes: bool = False,
+                        match_bias16=0):
     """Candidate generation + cost seeding + DP + commit, optionally
     iterated: pass k >= 2 re-derives symbol costs from pass k-1's real
     code lengths and re-runs the DP (the reference's iterated cost
@@ -413,7 +414,12 @@ def parse_chunk_optimal(b: jax.Array, length: jax.Array, depth: int = 6,
     cdB = _dist_cost(dB)
     cdC = _dist_cost(dC)
     cd3 = _dist_cost(d3)
-    lc_len = jnp.asarray(_SEED_LC_LEN)
+    # match_bias16 (1/16-bit units, may be traced) tilts the PASS-1 seed
+    # toward matches: the r5 text-gap diagnosis showed the DP holds ~80%
+    # of the short matches the reference's lazy -6 commits but rejects
+    # them on seeded costs (candidate-existence experiment, PERF_NOTES)
+    lc_len = jnp.maximum(jnp.asarray(_SEED_LC_LEN) - match_bias16, 1)
+    lc_len = jnp.where(jnp.arange(259) < 3, jnp.int32(1 << 28), lc_len)
 
     span, dist = _dp_parse(
         cost_lit, lenA, dA, cdA, lenB, dB, cdB, lenC, dC, cdC, d3, cd3,
@@ -522,6 +528,7 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
                                     pm_group: int = 128,
                                     content_doublings: int = 0,
                                     content_round_probes: bool = False,
+                                    match_bias16=0,
                                     interpret: bool = False):
     from .pallas_kernels import dp_parse_pallas, pack_groups_pallas
     from .tpu_dynamic import (
@@ -595,7 +602,12 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
     cdB = _dist_cost(dB)
     cdC = _dist_cost(dC)
     cd3 = _dist_cost(d3)
-    lc_len = jnp.asarray(_SEED_LC_LEN)
+    # match_bias16 (1/16-bit units, may be traced) tilts the PASS-1 seed
+    # toward matches: the r5 text-gap diagnosis showed the DP holds ~80%
+    # of the short matches the reference's lazy -6 commits but rejects
+    # them on seeded costs (candidate-existence experiment, PERF_NOTES)
+    lc_len = jnp.maximum(jnp.asarray(_SEED_LC_LEN) - match_bias16, 1)
+    lc_len = jnp.where(jnp.arange(259) < 3, jnp.int32(1 << 28), lc_len)
 
     span, dist = dp_parse_pallas(
         cost_lit, lenA, dA, cdA, lenB, dB, cdB, lenC, dC, cdC, d3, cd3,

@@ -93,6 +93,8 @@ def tokenize(stream: bytes):
     ('match', len, dist, sym_bits, extra_bits) for a raw DEFLATE stream."""
     br = _BR(stream)
     while True:
+        if br.pos >= len(br.d):       # ran off the stream (non-final chunk)
+            return
         h0 = br.bitpos()
         final = br.take(1)
         btype = br.take(2)
