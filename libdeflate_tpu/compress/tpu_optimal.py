@@ -206,6 +206,16 @@ def _seed_lc_len() -> np.ndarray:
 
 _SEED_LC_LEN = _seed_lc_len()
 
+# Short-match seed bias (r5): the candidate pool holds ~91% of the short
+# matches the reference's lazy -6 commits, but pass-1 seeded costs price
+# them out (PERF_NOTES r5 diagnosis).  Subtracting 3 bits from the seed
+# cost of len <= 8 matches, with a real-cost pass 2 keeping only the
+# genuinely cheap ones, improves BOTH measured corpora
+# (corpus1 34.07 -> 33.85, corpus2-text 28.04 -> 27.30 at lean-class
+# settings).  Applied to the passes >= 2 tiers; the single-pass lean
+# headline keeps an unbiased seed (flat corpus1 optimum).
+_SHORT_BIAS16 = np.where(np.arange(259) <= 8, 3 * BIT, 0).astype(np.int32)
+
 
 def _lc_len_from_lens(lit_lens: jax.Array) -> jax.Array:
     """Per-length match cost table [259] from real litlen code lengths
@@ -688,7 +698,8 @@ def compress_chunks_optimal_deep_pallas(bufs, lengths, bfinal, interpret=False):
     Pallas kernels."""
     return _compress_chunks_optimal_pallas(
         bufs, lengths, bfinal, depth=12, two_pass=True, hash3=True,
-        passes=3, content_doublings=2, interpret=interpret,
+        passes=3, content_doublings=2,
+        match_bias16=jnp.asarray(_SHORT_BIAS16), interpret=interpret,
     )
 
 
@@ -702,6 +713,7 @@ def compress_chunks_optfast_pallas(bufs, lengths, bfinal, interpret=False):
         bufs, lengths, bfinal, depth=6, two_pass=False, hash3=False,
         passes=2, use_content=False, use_wide=False,
         ladder=LEN_LADDER_DENSE2, ext_c=False, strides2=(),
+        match_bias16=jnp.asarray(_SHORT_BIAS16),
         interpret=interpret,
     )
 

@@ -57,12 +57,21 @@ def _chunk_compressor(level: int):
         compress_chunk_optimal,
     )
 
+    def _short_bias():
+        import jax.numpy as _jnp
+
+        from ..compress.tpu_optimal import _SHORT_BIAS16
+
+        return _jnp.asarray(_SHORT_BIAS16)
+
     if level >= 10:
         return lambda b, l, f: compress_chunk_optimal(
-            b, l, f, depth=12, two_pass=True, hash3=True, passes=2
+            b, l, f, depth=12, two_pass=True, hash3=True, passes=2,
+            match_bias16=_short_bias(),
         )
     if level >= 8:
-        return lambda b, l, f: compress_chunk_optimal(b, l, f, passes=2)
+        return lambda b, l, f: compress_chunk_optimal(
+            b, l, f, passes=2, match_bias16=_short_bias())
     if level >= 5:
         return lambda b, l, f: compress_chunk_optimal(
             b, l, f, passes=1, use_content=False, use_wide=False,

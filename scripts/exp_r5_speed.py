@@ -82,12 +82,12 @@ def main():
     def vo(B=4, **kw):
         cfg = dict(lean)
         cfg.update(kw)
-        return functools.partial(mko, **cfg), B
+        return jax.jit(functools.partial(mko, **cfg)), B
 
     def vd(B=4, **kw):
         cfg = dict(two_pass=False, depth=6, hash3=False)
         cfg.update(kw)
-        return functools.partial(mkd, **cfg), B
+        return jax.jit(functools.partial(mkd, **cfg)), B
 
     variants = {
         "lean-base": vo(),
