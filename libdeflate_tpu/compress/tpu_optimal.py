@@ -509,7 +509,7 @@ def compress_chunks_optimal_deep(bufs: jax.Array, lengths: jax.Array,
     return jax.vmap(
         lambda b, l, f: compress_chunk_optimal(
             b, l, f, depth=12, two_pass=True, hash3=True, passes=3,
-            content_doublings=2,
+            content_doublings=2, match_bias16=jnp.asarray(_SHORT_BIAS16),
         )
     )(bufs, lengths, bfinal)
 
