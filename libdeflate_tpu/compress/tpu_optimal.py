@@ -509,7 +509,8 @@ def compress_chunks_optimal_deep(bufs: jax.Array, lengths: jax.Array,
     return jax.vmap(
         lambda b, l, f: compress_chunk_optimal(
             b, l, f, depth=12, two_pass=True, hash3=True, passes=3,
-            content_doublings=2, match_bias16=jnp.asarray(_SHORT_BIAS16),
+            content_doublings=2, ladder=LEN_LADDER_DENSE2,
+            match_bias16=jnp.asarray(_SHORT_BIAS16),
         )
     )(bufs, lengths, bfinal)
 
@@ -698,7 +699,7 @@ def compress_chunks_optimal_deep_pallas(bufs, lengths, bfinal, interpret=False):
     Pallas kernels."""
     return _compress_chunks_optimal_pallas(
         bufs, lengths, bfinal, depth=12, two_pass=True, hash3=True,
-        passes=3, content_doublings=2,
+        passes=3, content_doublings=2, ladder=LEN_LADDER_DENSE2,
         match_bias16=jnp.asarray(_SHORT_BIAS16), interpret=interpret,
     )
 

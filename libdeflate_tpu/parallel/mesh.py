@@ -67,11 +67,12 @@ def _chunk_compressor(level: int):
     if level >= 10:
         return lambda b, l, f: compress_chunk_optimal(
             b, l, f, depth=12, two_pass=True, hash3=True, passes=2,
-            match_bias16=_short_bias(),
+            ladder=LEN_LADDER_DENSE2, match_bias16=_short_bias(),
         )
     if level >= 8:
         return lambda b, l, f: compress_chunk_optimal(
-            b, l, f, passes=2, match_bias16=_short_bias())
+            b, l, f, passes=2, ladder=LEN_LADDER_DENSE2,
+            match_bias16=_short_bias())
     if level >= 5:
         return lambda b, l, f: compress_chunk_optimal(
             b, l, f, passes=1, use_content=False, use_wide=False,
