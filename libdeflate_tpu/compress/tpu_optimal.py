@@ -730,11 +730,14 @@ def compress_chunks_lean_pallas(bufs, lengths, bfinal, interpret=False):
     nearest-occurrence candidate raw (no K^2 relaxation slot),
     strides2=() drops the second relaxation round (+0.03pp on the full
     corpus), and refine=0 emits 11-bit codes (+0.07pp) whose packed
-    values ride one-operand un-permute sorts.  Corpus ratio 0.3408 vs
-    libdeflate -6's 0.3412."""
+    values ride one-operand un-permute sorts.  lit_sample=32 (r5): the
+    seed histogram's one-hot bf16 tensor is pure HBM bandwidth — 32x
+    sampling took the tier 0.100 -> 0.110 GB/s for +0.011pp ratio
+    (ls64 is SLOWER again; 32 is the measured knee).  Corpus ratio
+    0.3408 vs libdeflate -6's 0.3412."""
     return _compress_chunks_optimal_pallas(
         bufs, lengths, bfinal, depth=6, two_pass=False, hash3=False,
         passes=1, use_content=False, use_wide=False,
         ladder=LEN_LADDER_DENSE2, ext_c=False, strides2=(), refine=0,
-        lit_sample=4, interpret=interpret,
+        lit_sample=32, interpret=interpret,
     )

@@ -77,6 +77,7 @@ def _chunk_compressor(level: int):
         return lambda b, l, f: compress_chunk_optimal(
             b, l, f, passes=1, use_content=False, use_wide=False,
             ladder=LEN_LADDER_DENSE2, ext_c=False, strides2=(),
+            lit_sample=32,
         )
     return compress_chunk_dynamic
 
