@@ -5,6 +5,8 @@
 # SIMD variants (scripts/run_tests.sh:133-165).
 #
 # Modes (run all by default; pass names to select):
+#   quick          pytest minus the interpret-mode Pallas tests (-m 'not
+#                  slow') — the fast pre-commit split (~5 min vs ~18)
 #   regular        pytest on the forced 8-device CPU mesh (conftest)
 #   no_native      same, with LIBDEFLATE_TPU_NO_NATIVE=1 so every host call
 #                  exercises the pure-Python/NumPy paths
@@ -21,6 +23,9 @@ run() { echo "== $1 =="; shift; "$@"; }
 
 for mode in $MODES; do
   case "$mode" in
+    quick)
+      run quick python -m pytest tests/ -q -m "not slow"
+      ;;
     regular)
       run regular python -m pytest tests/ -q
       ;;

@@ -35,3 +35,11 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0x1E35A7BD)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: interpret-mode Pallas kernel tests (dominate suite wall "
+        "time); deselect with -m 'not slow' for the quick split",
+    )

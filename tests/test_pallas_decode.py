@@ -16,6 +16,8 @@ from libdeflate_tpu.decompress.pallas_decode import (
 
 from tests.test_incomplete_codes import craft_dynamic_stream
 
+pytestmark = pytest.mark.slow
+
 
 def _rt(streams, raws):
     outs, status = decompress_chunks_pallas_host(

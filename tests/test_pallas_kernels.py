@@ -26,6 +26,8 @@ from libdeflate_tpu.compress.pallas_kernels import (
 )
 from libdeflate_tpu.compress.tpu_pipeline import device_stream_to_bytes
 
+pytestmark = pytest.mark.slow
+
 
 def test_dp_kernel_matches_xla():
     rng = np.random.default_rng(0)
