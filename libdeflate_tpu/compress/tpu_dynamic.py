@@ -424,20 +424,21 @@ def _p19_fixed():
 _P19_LENS, _P19_TAB, _P19_LENS_PERM = _p19_fixed()
 
 
-def _precode_rle_header(all_lens: jax.Array, nhlit, nhdist):
+def _precode_rle_items(all_lens: jax.Array, nhlit, nhdist):
     """RLE'd dynamic header (precode symbols 16/17/18) for the declared
     code lengths — the role of the reference's precode item computation
     (lib/deflate_compress.c:1482-1557), vectorized over the 316-length
     array: per-position run geometry (start/length via cumulative
     max/min), then a greedy chunking that each position classifies
     independently (138-zero chunks -> sym 18, 3-10 zeros -> 17, repeat
-    chunks of 6 -> 16, remainders raw).  The 19-symbol precode is built
-    by the same Kraft-budget machinery as the main codes (cap 7).
+    chunks of 6 -> 16, remainders raw).  The 19-symbol precode is the
+    fixed complete code (_p19_fixed).
 
-    Returns (words u32[72], bits i32, ok bool).  Callers use it only when
-    bits < the fixed 1338-bit layout, so the useful span fits 44 words;
-    the 72-word buffer keeps the construction scatter in bounds for
-    pathological (never-chosen) encodings."""
+    Returns (vals u32[339], bits i32[339], total i32) — the header as
+    ordinary emission entries (prelude 4, precode lens 19, RLE items
+    316), so it can ride the same premerge/pack stream as the body (the
+    multi-block emitter) or be scattered into words (the single-block
+    wrapper below)."""
     n = NSYM_ALL
     v = all_lens.astype(jnp.int32)
     i = jnp.arange(n, dtype=jnp.int32)
@@ -510,10 +511,16 @@ def _precode_rle_header(all_lens: jax.Array, nhlit, nhdist):
 
     vals = jnp.concatenate([f_vals, p_vals, item_vals])
     bits = jnp.concatenate([f_bits, p_bits, item_bits])
+    return vals, bits, jnp.sum(bits).astype(jnp.int32)
+
+
+def _precode_rle_header(all_lens: jax.Array, nhlit, nhdist):
+    """Single-block wrapper: scatter the RLE header items into a
+    72-word buffer (only the first 44 are used — callers pick this
+    encoding only when it beats the fixed 1338-bit layout)."""
+    vals, bits, total = _precode_rle_items(all_lens, nhlit, nhdist)
     offs = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(bits)[:-1]])
-    total = offs[-1] + bits[-1]
-
     sb = (offs & 31).astype(jnp.uint32)
     w = offs >> 5
     words = jnp.zeros(72, jnp.uint32)
@@ -521,14 +528,169 @@ def _precode_rle_header(all_lens: jax.Array, nhlit, nhdist):
     words = words.at[w + 1].add(
         jnp.where(sb > 0, vals >> (jnp.uint32(32) - jnp.maximum(sb, 1)), 0),
         mode="promise_in_bounds")
-    return words, total.astype(jnp.int32)
+    return words, total
 
 
-def _dyn_nwords(n: int) -> int:
+def _fixed_hdr_items(all_lens: jax.Array):
+    """The constant 1338-bit header layout as [339] emission entries:
+    prelude+precode lens (23, matching _HDR_VALS) then 316 rev4(len)
+    entries of 4 bits each."""
+    len_codes = _rev16(all_lens.astype(jnp.uint32)) >> jnp.uint32(12)
+    vals = jnp.concatenate([_J_HDR_VALS, len_codes])
+    bits = jnp.concatenate(
+        [jnp.asarray(np.array([3, 5, 5, 4] + [3] * 19, np.int32)),
+         jnp.full(316, 4, jnp.int32)])
+    return vals, bits
+
+
+_STATIC_HDR_ITEM_VALS = np.zeros(339, np.uint32)
+_STATIC_HDR_ITEM_VALS[0] = 0b010
+_STATIC_HDR_ITEM_BITS = np.zeros(339, np.int32)
+_STATIC_HDR_ITEM_BITS[0] = 3
+
+
+def _emit_dynamic_pre_blocks(bp, commit_match, commit_lit, eff, dist,
+                             n_pad: int, blocks: int,
+                             refine_passes: int = 0):
+    """Multi-block flush: the chunk is emitted as `blocks` DEFLATE blocks
+    with PER-BLOCK dynamic code tables over a SHARED LZ window (the
+    reference emits ~30 blocks per MiB and re-optimizes tables locally,
+    lib/deflate_compress.c:2106-2218; per-chunk single tables were the
+    r3 measured compromise — this recovers the table-adaptation half
+    without giving up window reach, since DEFLATE blocks share history).
+
+    Headers, bodies, and per-block EOBs all ride ONE entry stream
+    (val, nb, offs) through the same premerge/pack machinery: a header
+    is just 339 entries of <= 14 bits.  Matches never straddle block
+    boundaries because the DP/commit segments (1024 positions) divide
+    the block length.  Returns ((val, nb, offs), aux) with aux shaped
+    for _emit_dynamic_post (hdr44 = 0, eob folded into the stream)."""
+    nb_blk = n_pad // blocks
+    # 1024 = the DP/commit segment: matches truncate at those boundaries,
+    # so block edges on multiples of 1024 can never split an item pair
+    assert n_pad % (blocks * 128) == 0 and nb_blk % 1024 == 0
+    lslot, lbase, lextra = _length_slot(jnp.maximum(eff, 3))
+    oslot, obase, oextra = _offset_slot(jnp.maximum(dist, 1))
+
+    prev_match = jnp.concatenate([jnp.zeros(1, bool), commit_match[:-1]])
+    oslot_b = jnp.concatenate([jnp.zeros(1, jnp.int32), oslot[:-1]])
+    sym = jnp.where(
+        commit_match,
+        257 + lslot,
+        jnp.where(
+            prev_match,
+            NSYM + oslot_b,
+            jnp.where(commit_lit, bp.astype(jnp.int32), DONT_CARE),
+        ),
+    )
+
+    # ---- per-block code tables ------------------------------------------
+    hist_b = _hist_matmul(sym, NSYM_ALL, rows=blocks)        # [blocks, 316]
+    hist_lit = hist_b[:, :NSYM]
+    hist_lit = hist_lit.at[:, 256].add(1)                    # per-block EOB
+    hist_lit = hist_lit.at[:, 0].add(
+        jnp.where(hist_lit[:, 0] == 0, 1, 0))
+    hist_dist = hist_b[:, NSYM:]
+    hist_dist = hist_dist.at[:, 0].add(
+        jnp.where(hist_dist[:, 0] == 0, 1, 0))
+    hist_dist = hist_dist.at[:, 1].add(
+        jnp.where(hist_dist[:, 1] == 0, 1, 0))
+
+    max_len = MAX_CODE_LEN_DEEP if refine_passes else MAX_CODE_LEN
+    # one vmapped build over 2*blocks lanes (lit + padded dist per block)
+    h_all = jnp.concatenate(
+        [hist_lit, jnp.pad(hist_dist, ((0, 0), (0, NSYM - NDIST)))])
+    lens_all, ok_all = jax.vmap(
+        lambda hh: _build_code_lens(hh, NSYM, refine_passes, max_len)
+    )(h_all)
+    lit_lens = lens_all[:blocks]                             # [blocks, 286]
+    dist_lens = lens_all[blocks:, :NDIST]                    # [blocks, 30]
+    ok_b = ok_all[:blocks] & ok_all[blocks:]
+
+    t_lit = jax.vmap(lambda l: _canonical_table(l, NSYM))(lit_lens)
+    t_dist = jax.vmap(lambda l: _canonical_table(l, NDIST))(dist_lens)
+    all_lens_b = jnp.concatenate(
+        [lit_lens, dist_lens], axis=1).astype(jnp.int32)     # [blocks, 316]
+
+    rle_v, rle_b, rle_tot = jax.vmap(
+        lambda al: _precode_rle_items(al, NSYM - 257, NDIST - 1)
+    )(all_lens_b)
+    fix_v, fix_b = jax.vmap(_fixed_hdr_items)(all_lens_b)
+    use_rle = rle_tot < HDR_BITS
+    hdr_dyn_bits = jnp.where(use_rle, rle_tot, HDR_BITS)
+
+    dyn_cost = (jnp.sum(hist_lit * lit_lens, axis=1)
+                + jnp.sum(hist_dist * dist_lens, axis=1) + hdr_dyn_bits)
+    static_cost = (jnp.sum(hist_lit * _STATIC_LIT_LENS[None, :], axis=1)
+                   + 5 * jnp.sum(hist_dist, axis=1) + 3)
+    use_dyn = ok_b & (dyn_cost < static_cost)
+
+    table_b = jnp.where(
+        use_dyn[:, None],
+        jnp.concatenate([t_lit, t_dist], axis=1),
+        _T_STATIC_ALL[None, :],
+    )
+
+    # per-block header entries: static / fixed / RLE
+    hv = jnp.where(use_rle[:, None], rle_v, fix_v)
+    hb = jnp.where(use_rle[:, None], rle_b, fix_b)
+    hv = jnp.where(use_dyn[:, None], hv,
+                   jnp.asarray(_STATIC_HDR_ITEM_VALS)[None, :])
+    hb = jnp.where(use_dyn[:, None], hb,
+                   jnp.asarray(_STATIC_HDR_ITEM_BITS)[None, :])
+
+    # ---- body columns (per-block tables) --------------------------------
+    sym_b = sym.reshape(blocks, nb_blk)
+    code_at = jax.vmap(
+        lambda s, t: _tree_translate(s, t, NSYM_ALL, max_len + 4)
+    )(sym_b, table_b).reshape(n_pad)
+
+    clen = (code_at & 15).astype(jnp.int32)
+    ccode = (code_at >> 4).astype(jnp.uint32)
+    lx = jnp.where(commit_match, eff - lbase, 0).astype(jnp.uint32)
+    val_a = ccode | (lx << clen.astype(jnp.uint32))
+    nb_a = jnp.where(
+        commit_match, clen + lextra, jnp.where(commit_lit, clen, 0)
+    ).astype(jnp.int32)
+    ox_b = jnp.concatenate(
+        [jnp.zeros(1, jnp.uint32), (dist - obase).astype(jnp.uint32)[:-1]])
+    oex_b = jnp.concatenate([jnp.zeros(1, jnp.int32), oextra[:-1]])
+    val_b = ccode | (ox_b << clen.astype(jnp.uint32))
+    nb_b = clen + oex_b
+    body_val = jnp.where(prev_match, val_b,
+                         jnp.where(commit_match | commit_lit, val_a, 0))
+    body_nb = jnp.where(prev_match, nb_b, nb_a)
+
+    # per-block EOB entries
+    tbl_eob = table_b[:, 256]
+    eob_code = (tbl_eob >> 4).astype(jnp.uint32)
+    eob_len = (tbl_eob & 15).astype(jnp.int32)
+
+    # ---- one entry stream: [hdr 339][body nb_blk][eob 1] per block ------
+    ENT = 339 + nb_blk + 1
+    vals = jnp.concatenate(
+        [hv, body_val.reshape(blocks, nb_blk), eob_code[:, None]], axis=1)
+    nbits = jnp.concatenate(
+        [hb, body_nb.reshape(blocks, nb_blk), eob_len[:, None]], axis=1)
+    vals = vals.reshape(blocks * ENT)
+    nbits = nbits.reshape(blocks * ENT)
+    pad = (-(blocks * ENT)) % 128
+    if pad:
+        vals = jnp.concatenate([vals, jnp.zeros(pad, vals.dtype)])
+        nbits = jnp.concatenate([nbits, jnp.zeros(pad, nbits.dtype)])
+    offs, total_bits = _exclusive_bit_offsets(nbits)
+
+    aux = (jnp.zeros(44, jnp.uint32), jnp.uint32(0), jnp.int32(0),
+           jnp.int32(0), total_bits)
+    return (vals, nbits, offs), aux
+
+
+def _dyn_nwords(n: int, blocks: int = 1) -> int:
     # the block-type choice guarantees emitted symbol bits <= the static
     # cost, which is bounded by 9 bits/position, so the buffer (and the
-    # group placement's target) sizes to 9n rather than the 11n code cap
-    return (9 * n + 2 * HDR_BITS + 256 + 31) // 32
+    # group placement's target) sizes to 9n rather than the 11n code cap;
+    # each extra block adds at most one fixed-size header + EOB
+    return (9 * n + (1 + blocks) * HDR_BITS + 256 + blocks * 16 + 31) // 32
 
 
 def _emit_dynamic_pre(bp, commit_match, commit_lit, eff, dist,

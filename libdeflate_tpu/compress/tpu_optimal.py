@@ -540,6 +540,7 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
                                     content_doublings: int = 0,
                                     content_round_probes: bool = False,
                                     match_bias16=0,
+                                    emit_blocks: int = 1,
                                     interpret: bool = False):
     from .pallas_kernels import dp_parse_pallas, pack_groups_pallas
     from .tpu_dynamic import (
@@ -548,6 +549,7 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
         _dyn_nwords,
         _emit_dynamic_post,
         _emit_dynamic_pre,
+        _emit_dynamic_pre_blocks,
     )
     from .tpu_pipeline import _group_premerge
 
@@ -656,11 +658,19 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
         )(span, dist, pos, lengths)
 
     def back(bp, commit_match, commit_lit, eff, dist, fin):
-        (val, nb, offs), aux = _emit_dynamic_pre(
-            bp, commit_match, commit_lit, eff, dist, bp.shape[0],
-            refine_passes=refine,
-        )
-        capw = DYN_CAPW_DEEP if refine else DYN_CAPW
+        if emit_blocks > 1:
+            (val, nb, offs), aux = _emit_dynamic_pre_blocks(
+                bp, commit_match, commit_lit, eff, dist, bp.shape[0],
+                emit_blocks, refine_passes=refine,
+            )
+            # worst premerge group = 128 RLE header items of <= 14 bits
+            capw = max(DYN_CAPW_DEEP if refine else DYN_CAPW, 58)
+        else:
+            (val, nb, offs), aux = _emit_dynamic_pre(
+                bp, commit_match, commit_lit, eff, dist, bp.shape[0],
+                refine_passes=refine,
+            )
+            capw = DYN_CAPW_DEEP if refine else DYN_CAPW
         # smaller premerge groups shrink the [m, group, capw] merge tensor
         # (capw scales with the group's worst-case bits)
         capw = (capw - 1) * pm_group // 128 + 1
@@ -669,7 +679,8 @@ def _compress_chunks_optimal_pallas(bufs, lengths, bfinal, *, depth: int,
 
     sbuf, gw, aux = jax.vmap(back)(
         bp, commit_match, commit_lit, eff, dist, bfinal)
-    words = pack_groups_pallas(sbuf, gw, _dyn_nwords(n), interpret=interpret)
+    words = pack_groups_pallas(sbuf, gw, _dyn_nwords(n, emit_blocks),
+                               interpret=interpret)
     return jax.vmap(_emit_dynamic_post)(words, aux, bfinal)
 
 

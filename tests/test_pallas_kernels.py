@@ -173,3 +173,33 @@ def test_lean_tier_roundtrip():
     for k in range(2):
         s = device_stream_to_bytes(w[k], t[k])
         assert zlib.decompressobj(-15).decompress(s) == bufs[k].tobytes()
+
+
+def test_multi_block_emit_roundtrip():
+    """emit_blocks > 1: per-block dynamic tables over a shared window —
+    headers/bodies/EOBs ride one premerge stream.  Round-trip via zlib
+    on mixed content incl. static/stored-ish and all-zero blocks."""
+    import functools
+
+    import jax
+
+    rng = np.random.default_rng(13)
+    N = 1 << 17
+    survey = (open("/root/repo/SURVEY.md", "rb").read() * 40)[:N]
+    rec = np.tile(rng.integers(0, 256, 64, dtype=np.uint8), N // 64)
+    noise = rng.integers(0, 256, N, dtype=np.uint8)
+    rec = np.where(rng.random(N) < 0.05, noise, rec).astype(np.uint8)
+    datas = [survey, rec.tobytes(),
+             rng.integers(0, 256, N, dtype=np.uint8).tobytes(), bytes(N)]
+    bufs = np.stack([np.frombuffer(d, np.uint8) for d in datas])
+    fn = jax.jit(functools.partial(
+        to._compress_chunks_optimal_pallas, depth=6, two_pass=False,
+        hash3=False, passes=1, use_content=False, use_wide=False,
+        ladder=to.LEN_LADDER_DENSE2, ext_c=False, strides2=(), refine=0,
+        lit_sample=32, emit_blocks=4, interpret=True))
+    w, t = fn(jnp.asarray(bufs), jnp.full(4, N, jnp.int32),
+              jnp.ones(4, bool))
+    w, t = np.asarray(w), np.asarray(t)
+    for i, d in enumerate(datas):
+        s = device_stream_to_bytes(w[i], t[i])
+        assert zlib.decompress(s, -15) == d, i
